@@ -1,0 +1,17 @@
+from qgtc_ppopp22_tpu.ops.quantize import quantize, requantize, dequantize_levels
+from qgtc_ppopp22_tpu.ops.bitpack import (
+    BitTensor,
+    pack_bits,
+    unpack_bits,
+    val2bit,
+    bit2val,
+    to_digits,
+)
+from qgtc_ppopp22_tpu.ops.bitgemm import (
+    bitmm_to_bits,
+    bitmm_to_int,
+    TileMap,
+    build_tile_map,
+    zero_tile_stats,
+    flops_convention,
+)
