@@ -1,0 +1,165 @@
+"""Cluster batching: partition, densify, quantize, pre-pack, bucket-pad.
+
+Equivalent of the reference's ``ClusterIter`` (``sampler.py:21-149``):
+at init, every batch of ``batch_size`` partitions is merged into a
+subgraph whose dense binary adjacency and quantized features are
+bit-packed once and parked host-side (reference parks on CPU,
+``sampler.py:104``); iteration yields packed batches, and the per-step
+host->device transfer is what epoch timing includes
+(``main_qgtc.py:115``, SURVEY quirk 8).
+
+TPU-specific redesign — **shape bucketing**: the reference lets every
+batch have its own node count (``A_size_0`` varies per batch,
+``main_qgtc.py:123-126``), which is hostile to XLA (a recompile per
+distinct shape). Here each batch's node count is padded up to a
+multiple of ``bucket_rows`` (default 512), so all batches of a dataset
+land in a handful of shape buckets and jit compiles once per bucket.
+Zero rows/columns are exact no-ops through the bit-GEMM chain
+(zero adjacency rows aggregate nothing; zero feature rows quantize to
+level 0), so padding changes no real output row.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from qgtc_ppopp22_tpu.graph.csr import CSRGraph
+from qgtc_ppopp22_tpu.graph.datasets import GraphDataset
+from qgtc_ppopp22_tpu.graph.partition import get_partition_list
+from qgtc_ppopp22_tpu.ops.bitpack import BitTensor, pack_bits_np, round_up
+
+DEFAULT_BUCKET_ROWS = 512
+
+
+def quantize_np(x: np.ndarray, bits: int) -> np.ndarray:
+    """NumPy mirror of :func:`qgtc_ppopp22_tpu.ops.quantize.quantize`."""
+    ub = float(1 << bits)
+    x = np.asarray(x, np.float32)
+    clipped = np.where(x < 0.0, 1.0, np.where(x > ub, ub - 1.0, x))
+    return np.round(clipped).astype(np.int32)
+
+
+@dataclasses.dataclass(frozen=True)
+class ClusterBatch:
+    """One pre-packed cluster batch (host-side NumPy planes).
+
+    ``num_nodes`` is the real (unpadded) node count; ``padded_nodes``
+    the bucket size both A and X rows were padded to. ``bit_A`` is
+    (padded_nodes, padded_nodes) 1-bit; ``bit_X`` is
+    (padded_nodes, feat_dim) ``bit_width``-bit.
+    """
+
+    nodes: np.ndarray  # int64[num_nodes] global node ids
+    bit_A: BitTensor
+    bit_X: BitTensor
+    num_nodes: int
+    padded_nodes: int
+
+    def nbytes(self) -> int:
+        return self.bit_A.nbytes() + self.bit_X.nbytes()
+
+
+class ClusterBatcher:
+    """Pre-packed cluster-batch producer (reference ``ClusterIter``).
+
+    Parameters mirror the reference driver's
+    (``main_qgtc.py:25-33``): ``psize`` partitions, ``batch_size``
+    partitions merged per step, ``bit_width``-bit features, 1-bit
+    adjacency. ``precalc`` reproduces the optional GraphSAGE-style
+    feature pre-aggregation (``sampler.py:108-126``): features become
+    ``concat([X, (A @ X) * 1/in_degree])``, doubling ``feat_dim``.
+    """
+
+    def __init__(
+        self,
+        dataset: GraphDataset,
+        psize: int,
+        batch_size: int,
+        bit_width: int = 2,
+        seed: int = 0,
+        bucket_rows: int = DEFAULT_BUCKET_ROWS,
+        precalc: bool = False,
+        partition_method: str = "auto",
+        cache_dir: Optional[str] = None,
+        shuffle: bool = True,
+    ):
+        self.dataset = dataset
+        self.psize = psize
+        self.batch_size = batch_size
+        self.bit_width = bit_width
+        self.bucket_rows = bucket_rows
+        self._rng = random.Random(seed)
+
+        g = dataset.graph
+        feats = dataset.features
+        if precalc:
+            deg = g.degrees().astype(np.float32)
+            norm = np.where(deg > 0, 1.0 / np.maximum(deg, 1), 0.0)
+            agg = (g.to_scipy().astype(np.float32) @ feats) * norm[:, None]
+            feats = np.concatenate([feats, agg], axis=1)
+        self.features = feats
+        self.feat_dim = int(feats.shape[1])
+
+        self.par_li: List[np.ndarray] = get_partition_list(
+            g,
+            psize,
+            method=partition_method,
+            cache_dir=cache_dir,
+            cache_name=dataset.name,
+        )
+        if shuffle:
+            self._rng.shuffle(self.par_li)
+        self.max = psize // batch_size
+
+        self.batches: List[ClusterBatch] = [
+            self._build_batch(g, i) for i in range(self.max)
+        ]
+
+    def _build_batch(self, g: CSRGraph, i: int) -> ClusterBatch:
+        parts = self.par_li[i * self.batch_size : (i + 1) * self.batch_size]
+        nodes = np.sort(np.concatenate([p for p in parts if len(p)]))
+        n = len(nodes)
+        pn = round_up(max(n, 1), self.bucket_rows)
+
+        dense_a = np.zeros((pn, pn), np.uint8)
+        dense_a[:n, :n] = g.subgraph_dense(nodes)
+        x = np.zeros((pn, self.feat_dim), np.float32)
+        x[:n] = self.features[nodes]
+
+        bit_a = pack_bits_np(dense_a.astype(np.int32), 1)
+        bit_x = pack_bits_np(quantize_np(x, self.bit_width), self.bit_width)
+        return ClusterBatch(
+            nodes=nodes,
+            bit_A=bit_a,
+            bit_X=bit_x,
+            num_nodes=n,
+            padded_nodes=pn,
+        )
+
+    def buckets(self) -> List[int]:
+        """Distinct padded node counts (one jit compilation each)."""
+        return sorted({b.padded_nodes for b in self.batches})
+
+    def __len__(self) -> int:
+        return self.max
+
+    def __iter__(self):
+        order = list(range(self.max))
+        self._rng.shuffle(order)
+        for i in order:
+            yield self.batches[i]
+
+
+def batch_labels(
+    dataset: GraphDataset, batch: ClusterBatch
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(labels, valid_mask) aligned to the batch's padded rows."""
+    lab = np.zeros(batch.padded_nodes, np.int64)
+    lab[: batch.num_nodes] = dataset.labels[batch.nodes]
+    mask = np.zeros(batch.padded_nodes, bool)
+    mask[: batch.num_nodes] = True
+    return lab, mask

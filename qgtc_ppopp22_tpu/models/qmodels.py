@@ -1,0 +1,163 @@
+"""Quantized GNN models in the bit-plane domain (QGCN / QGIN).
+
+Model dataflows exactly as the reference executes them
+(``main_qgtc.py:127-154``; SURVEY §3), but using the numerically
+*correct* composition everywhere — the reference's timed loop feeds a
+row-major packed output as the B operand of the next multiply
+(``main_qgtc.py:147-148``), which violates its own layout contract and
+is only harmless because its weights are all-ones and outputs are
+discarded; the correct composition appears in its unit tests
+(``unitest.py:86-121``). The TPU container is layout-free, so every
+intermediate composes legally by construction.
+
+* QGCN (update-then-aggregate, hidden=16 default): per hidden layer
+  ``H <- A @ (H @ Wl)`` in the bit domain; output layer
+  ``bitmm_to_int(A, H @ W3)``... precisely:
+  ``XW1 -> A(XW1) -> (.)W2 -> A(.) -> (.)W3 -> bitmm_to_int(A, .)``
+  (``main_qgtc.py:146-154``).
+* QGIN (aggregate-then-update, hidden=64 default):
+  ``AX -> (AX)W1 -> A(.) -> (.)W2 -> A(.) -> bitmm_to_int(., W3)``
+  (``main_qgtc.py:131-138``).
+
+Weights are real (not the reference's ``torch.ones``,
+``main_qgtc.py:100-102``): floats quantized to ``bit_width`` levels and
+packed once, amortized across batches exactly as the reference packs
+weights once outside the epoch loop (``main_qgtc.py:108-110``).
+
+Zero-tile jumping: every multiply whose left operand is the adjacency
+reuses one :class:`TileMap` built per batch from ``bit_A``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qgtc_ppopp22_tpu.ops.bitgemm import TileMap, bitmm_to_bits, bitmm_to_int
+from qgtc_ppopp22_tpu.ops.bitpack import BitTensor, val2bit
+
+
+@dataclasses.dataclass(frozen=True)
+class QModelConfig:
+    in_dim: int
+    hidden: int
+    out_dim: int
+    bit_width: int = 2
+    num_layers: int = 3  # reference models are 3-layer (modules.py)
+
+    def weight_shapes(self) -> List[tuple]:
+        dims = (
+            [self.in_dim]
+            + [self.hidden] * (self.num_layers - 1)
+            + [self.out_dim]
+        )
+        return [(dims[i], dims[i + 1]) for i in range(self.num_layers)]
+
+
+def init_weights(
+    key: jax.Array, cfg: QModelConfig, scale: float = 1.0
+) -> List[jnp.ndarray]:
+    """Float weight init sized so quantized levels spread over the range.
+
+    The reference quantization maps floats by clip-to-[0, 2^bits] +
+    round (no learned scale), so useful weights live in [0, 2^bits];
+    uniform init over that range exercises every level.
+    """
+    ws = []
+    for i, (fi, fo) in enumerate(cfg.weight_shapes()):
+        key, sub = jax.random.split(key)
+        ub = float(1 << cfg.bit_width)
+        ws.append(jax.random.uniform(sub, (fi, fo), jnp.float32, 0.0, ub * scale))
+    return ws
+
+
+def pack_weights(
+    weights: Sequence[jnp.ndarray], bit_width: int
+) -> List[BitTensor]:
+    """Quantize + pack weights once (reference ``main_qgtc.py:108-110``)."""
+    return [val2bit(w, bit_width) for w in weights]
+
+
+def qgcn_forward(
+    bit_a: BitTensor,
+    bit_x: BitTensor,
+    bit_ws: Sequence[BitTensor],
+    out_bits: int,
+    tile_map: Optional[TileMap] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Cluster-GCN forward in the bit domain -> float32 logits.
+
+    Update-then-aggregate: features shrink to ``hidden`` before the
+    N x N aggregation (``main_qgtc.py:146-154``).
+    """
+    h = bit_x
+    n_layers = len(bit_ws)
+    for l, w in enumerate(bit_ws):
+        h = bitmm_to_bits(h, w, out_bits, interpret=interpret)
+        if l < n_layers - 1:
+            h = bitmm_to_bits(bit_a, h, out_bits, tile_map=tile_map,
+                              interpret=interpret)
+    return bitmm_to_int(bit_a, h, tile_map=tile_map, interpret=interpret)
+
+
+def qgin_forward(
+    bit_a: BitTensor,
+    bit_x: BitTensor,
+    bit_ws: Sequence[BitTensor],
+    out_bits: int,
+    tile_map: Optional[TileMap] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Batched-GIN forward in the bit domain -> float32 logits.
+
+    Aggregate-then-update (``main_qgtc.py:131-138``): the final
+    multiply is by the output weight, not the adjacency.
+    """
+    h = bitmm_to_bits(bit_a, bit_x, out_bits, tile_map=tile_map,
+                      interpret=interpret)
+    for w in bit_ws[:-1]:
+        h = bitmm_to_bits(h, w, out_bits, interpret=interpret)
+        h = bitmm_to_bits(bit_a, h, out_bits, tile_map=tile_map,
+                          interpret=interpret)
+    return bitmm_to_int(h, bit_ws[-1], interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# NumPy golden forwards (integer semantics) for parity testing
+# ---------------------------------------------------------------------------
+
+
+def _golden_mm_bits(a, b, a_bits, b_bits, out_bits):
+    from tests.golden import bitmm_np  # local import: test-only dependency
+
+    return bitmm_np(a, b, a_bits, b_bits, out_bits)
+
+
+def qgcn_golden(qa, qx, qws, bit_width: int, out_bits: int) -> np.ndarray:
+    """Integer-exact NumPy model of :func:`qgcn_forward`."""
+    from tests.golden import bitmm_np
+
+    h, hb = qx, bit_width
+    n_layers = len(qws)
+    for l, w in enumerate(qws):
+        h, hb = bitmm_np(h, w, hb, bit_width, out_bits), out_bits
+        if l < n_layers - 1:
+            h = bitmm_np(qa, h, 1, hb, out_bits)
+    return bitmm_np(qa, h, 1, hb, None)
+
+
+def qgin_golden(qa, qx, qws, bit_width: int, out_bits: int) -> np.ndarray:
+    """Integer-exact NumPy model of :func:`qgin_forward`."""
+    from tests.golden import bitmm_np
+
+    h, hb = bitmm_np(qa, qx, 1, bit_width, out_bits), out_bits
+    for w in qws[:-1]:
+        h = bitmm_np(h, w, hb, bit_width, out_bits)
+        h = bitmm_np(qa, h, 1, out_bits, out_bits)
+        hb = out_bits
+    return bitmm_np(h, qws[-1], hb, bit_width, None)

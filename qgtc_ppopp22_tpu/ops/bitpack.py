@@ -158,6 +158,35 @@ def to_digits(bt: BitTensor) -> jnp.ndarray:
     return jnp.stack(digits)
 
 
+def pack_bits_np(q, bits: int) -> BitTensor:
+    """Host-side (NumPy) packer producing the same container as
+    :func:`pack_bits`, without touching a device.
+
+    The data pipeline pre-quantizes and pre-packs every cluster batch
+    at init (like the reference's ``ClusterIter.__init__`` pre-packing,
+    ``sampler.py:76-106``) and parks the packed planes host-side; the
+    per-step host->device transfer of the *packed* form is the timed
+    H2D boundary, mirroring the reference's epoch-timing boundary
+    (``main_qgtc.py:115``).
+    """
+    import numpy as np
+
+    q = np.asarray(q)
+    M, K = q.shape
+    Mp = round_up(max(M, 1), ROW_PAD)
+    Kp = round_up(max(K, 1), COL_PAD)
+    qq = np.zeros((Mp, Kp), np.uint32)
+    qq[:M, :K] = q.astype(np.int64) & np.int64((1 << bits) - 1)
+    b_idx = np.arange(bits, dtype=np.uint32)[:, None, None]
+    planes = (qq[None] >> b_idx) & np.uint32(1)
+    planes = planes.reshape(bits, Mp // ROWS_PER_WORD, ROWS_PER_WORD, Kp)
+    j_idx = np.arange(ROWS_PER_WORD, dtype=np.uint32)[None, None, :, None]
+    words = np.bitwise_or.reduce(
+        (planes << j_idx).astype(np.uint32), axis=2
+    )
+    return BitTensor(planes=words, shape=(M, K), bits=bits)
+
+
 def val2bit(x: jnp.ndarray, bits: int) -> BitTensor:
     """float (M, K) -> quantize -> packed bit-planes.
 

@@ -1,0 +1,103 @@
+"""Graph layer tests: CSR, partitioning, cluster batching."""
+
+import numpy as np
+import pytest
+
+from qgtc_ppopp22_tpu.graph import (
+    ClusterBatcher,
+    from_edges,
+    get_partition_list,
+    edge_cut_fraction,
+    synthesize,
+)
+from qgtc_ppopp22_tpu.graph.batching import quantize_np
+from qgtc_ppopp22_tpu.ops.bitpack import pack_bits, pack_bits_np, unpack_bits
+
+
+def small_graph(rng, n=200, m=800):
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    g = from_edges(
+        np.concatenate([src, dst]), np.concatenate([dst, src]), n
+    )
+    return g, src, dst
+
+
+def test_from_edges_in_adjacency(rng):
+    g, src, dst = small_graph(rng)
+    dense = g.subgraph_dense(np.arange(g.num_nodes))
+    # in-adjacency: dense[dst, src] == 1 for every edge (both dirs added)
+    assert np.all(dense[dst, src] == 1)
+    assert np.all(dense[src, dst] == 1)
+    assert dense.max() <= 1
+
+
+def test_subgraph_dense_induced(rng):
+    g, _, _ = small_graph(rng)
+    nodes = np.sort(rng.choice(g.num_nodes, 50, replace=False))
+    sub = g.subgraph_dense(nodes)
+    full = g.subgraph_dense(np.arange(g.num_nodes))
+    np.testing.assert_array_equal(sub, full[np.ix_(nodes, nodes)])
+
+
+@pytest.mark.parametrize("method", ["rcm", "bfs"])
+def test_partition_covers_disjointly(rng, method):
+    g, _, _ = small_graph(rng)
+    parts = get_partition_list(g, 8, method=method)
+    allnodes = np.concatenate(parts)
+    assert len(allnodes) == g.num_nodes
+    assert len(np.unique(allnodes)) == g.num_nodes
+    sizes = [len(p) for p in parts]
+    assert max(sizes) <= 2 * (g.num_nodes // 8) + 1
+
+
+def test_partition_locality_beats_random(rng):
+    ds = synthesize("Proteins", scale=0.05, seed=1)
+    g = ds.graph
+    parts = get_partition_list(g, 16, method="bfs")
+    rand_order = rng.permutation(g.num_nodes)
+    rand_parts = [np.sort(c) for c in np.array_split(rand_order, 16)]
+    assert edge_cut_fraction(g, parts) < 0.8 * edge_cut_fraction(
+        g, rand_parts
+    )
+
+
+def test_pack_np_matches_device(rng):
+    q = rng.integers(0, 16, (70, 33)).astype(np.int32)
+    a = pack_bits_np(q, 4)
+    b = pack_bits(q, 4)
+    np.testing.assert_array_equal(np.asarray(a.planes), np.asarray(b.planes))
+    assert a.shape == b.shape
+
+
+def test_cluster_batcher_shapes_and_content(rng):
+    ds = synthesize("Proteins", scale=0.03, seed=2)
+    psize, bs = 8, 2
+    it = ClusterBatcher(
+        ds, psize, bs, bit_width=2, seed=0, bucket_rows=256, shuffle=False
+    )
+    assert len(it) == psize // bs
+    total = 0
+    for b in it.batches:
+        total += b.num_nodes
+        assert b.padded_nodes % 256 == 0
+        assert b.bit_A.shape == (b.padded_nodes, b.padded_nodes)
+        assert b.bit_X.shape == (b.padded_nodes, ds.feat_dim)
+        # packed A decodes to the induced subgraph (padded region zero)
+        dec = np.asarray(unpack_bits(b.bit_A))
+        ref = ds.graph.subgraph_dense(b.nodes)
+        np.testing.assert_array_equal(dec[: b.num_nodes, : b.num_nodes], ref)
+        assert dec[b.num_nodes :].sum() == 0
+        # packed X decodes to quantized features
+        decx = np.asarray(unpack_bits(b.bit_X))
+        refx = quantize_np(ds.features[b.nodes], 2) & 0b11
+        np.testing.assert_array_equal(decx[: b.num_nodes], refx)
+    assert total == ds.num_nodes
+
+
+def test_precalc_doubles_feat_dim():
+    ds = synthesize("Proteins", scale=0.02, seed=3)
+    it = ClusterBatcher(ds, 4, 2, bit_width=2, precalc=True, shuffle=False)
+    assert it.feat_dim == 2 * ds.feat_dim

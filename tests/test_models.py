@@ -1,0 +1,116 @@
+"""Model-level parity: bit-domain QGCN/QGIN vs integer golden model.
+
+The math is exact integer arithmetic end-to-end, so model outputs must
+match the NumPy golden forward *exactly* at every bit width — the test
+standard the reference lacks (its weights are all-ones and outputs
+discarded, ``main_qgtc.py:100-102``).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qgtc_ppopp22_tpu.graph import ClusterBatcher, synthesize, batch_labels
+from qgtc_ppopp22_tpu.models import (
+    QModelConfig,
+    init_weights,
+    pack_weights,
+    qgcn_forward,
+    qgin_forward,
+    qgcn_golden,
+    qgin_golden,
+)
+from qgtc_ppopp22_tpu.ops.bitgemm import build_tile_map
+from qgtc_ppopp22_tpu.ops.bitpack import pack_bits, unpack_bits
+from tests.golden import quantize_np
+
+
+def make_inputs(rng, n, dim, bits):
+    a = (rng.random((n, n)) < 0.02).astype(np.int32)
+    x = rng.standard_normal((n, dim)).astype(np.float32) * 2 + 1
+    qx = quantize_np(x, bits)
+    return a, qx
+
+
+@pytest.mark.parametrize("bits", [1, 2, 4, 8])
+def test_qgcn_matches_golden(rng, bits):
+    n, dim, hid, out = 256, 32, 16, 8
+    a, qx = make_inputs(rng, n, dim, bits)
+    cfg = QModelConfig(dim, hid, out, bit_width=bits)
+    ws = init_weights(jax.random.PRNGKey(0), cfg)
+    qws = [quantize_np(np.asarray(w), bits) for w in ws]
+
+    bit_a = pack_bits(jnp.asarray(a), 1)
+    bit_x = pack_bits(jnp.asarray(qx), bits)
+    bit_ws = [pack_bits(jnp.asarray(qw), bits) for qw in qws]
+
+    got = np.asarray(qgcn_forward(bit_a, bit_x, bit_ws, out_bits=bits))
+    want = qgcn_golden(a, qx, qws, bits, bits)
+    np.testing.assert_array_equal(got, want.astype(np.float32))
+
+
+@pytest.mark.parametrize("bits", [1, 2, 4])
+def test_qgin_matches_golden(rng, bits):
+    n, dim, hid, out = 256, 32, 16, 8
+    a, qx = make_inputs(rng, n, dim, bits)
+    cfg = QModelConfig(dim, hid, out, bit_width=bits)
+    ws = init_weights(jax.random.PRNGKey(1), cfg)
+    qws = [quantize_np(np.asarray(w), bits) for w in ws]
+
+    bit_a = pack_bits(jnp.asarray(a), 1)
+    bit_x = pack_bits(jnp.asarray(qx), bits)
+    bit_ws = [pack_bits(jnp.asarray(qw), bits) for qw in qws]
+
+    got = np.asarray(qgin_forward(bit_a, bit_x, bit_ws, out_bits=bits))
+    want = qgin_golden(a, qx, qws, bits, bits)
+    np.testing.assert_array_equal(got, want.astype(np.float32))
+
+
+def test_qgcn_with_tile_map_identical(rng):
+    bits = 2
+    n, dim = 256, 32
+    a, qx = make_inputs(rng, n, dim, bits)
+    a[: n // 2] = 0  # guarantee zero tiles
+    cfg = QModelConfig(dim, 16, 8, bit_width=bits)
+    ws = init_weights(jax.random.PRNGKey(2), cfg)
+    qws = [quantize_np(np.asarray(w), bits) for w in ws]
+
+    bit_a = pack_bits(jnp.asarray(a), 1)
+    bit_x = pack_bits(jnp.asarray(qx), bits)
+    bit_ws = [pack_bits(jnp.asarray(qw), bits) for qw in qws]
+    tm = build_tile_map(bit_a)
+
+    dense = np.asarray(qgcn_forward(bit_a, bit_x, bit_ws, out_bits=bits))
+    sparse = np.asarray(
+        qgcn_forward(bit_a, bit_x, bit_ws, out_bits=bits, tile_map=tm)
+    )
+    np.testing.assert_array_equal(dense, sparse)
+
+
+def test_end_to_end_cluster_batch_pipeline(rng):
+    """Full slice: dataset -> partition -> batch -> packed forward."""
+    bits = 2
+    ds = synthesize("Proteins", scale=0.02, seed=5)
+    it = ClusterBatcher(
+        ds, 4, 2, bit_width=bits, bucket_rows=256, shuffle=False
+    )
+    cfg = QModelConfig(it.feat_dim, 16, ds.num_classes, bit_width=bits)
+    ws = init_weights(jax.random.PRNGKey(3), cfg)
+    qws = [quantize_np(np.asarray(w), bits) for w in ws]
+    bit_ws = pack_weights(ws, bits)
+
+    batch = it.batches[0]
+    bit_a = jax.tree.map(jnp.asarray, batch.bit_A)
+    bit_x = jax.tree.map(jnp.asarray, batch.bit_X)
+    got = np.asarray(qgcn_forward(bit_a, bit_x, bit_ws, out_bits=bits))
+    assert got.shape == (batch.padded_nodes, ds.num_classes)
+
+    qa = np.asarray(unpack_bits(batch.bit_A))
+    qx = np.asarray(unpack_bits(batch.bit_X))
+    want = qgcn_golden(qa, qx, qws, bits, bits)
+    np.testing.assert_array_equal(got, want.astype(np.float32))
+
+    labels, mask = batch_labels(ds, batch)
+    assert labels.shape == (batch.padded_nodes,)
+    assert mask.sum() == batch.num_nodes
