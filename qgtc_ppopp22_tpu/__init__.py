@@ -37,6 +37,8 @@ from qgtc_ppopp22_tpu.ops.bitpack import (
     bit2val,
 )
 from qgtc_ppopp22_tpu.ops.bitgemm import bitmm_to_bits, bitmm_to_int
+from qgtc_ppopp22_tpu.ops.digits import DigitTensor, to_digit_tensor, digit_pack
+from qgtc_ppopp22_tpu.ops.digitmm import digitmm_to_digits, digitmm_to_f32
 
 __all__ = [
     "quantize",
@@ -48,4 +50,9 @@ __all__ = [
     "bit2val",
     "bitmm_to_bits",
     "bitmm_to_int",
+    "DigitTensor",
+    "to_digit_tensor",
+    "digit_pack",
+    "digitmm_to_digits",
+    "digitmm_to_f32",
 ]

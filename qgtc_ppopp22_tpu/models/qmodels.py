@@ -39,6 +39,23 @@ import numpy as np
 
 from qgtc_ppopp22_tpu.ops.bitgemm import TileMap, bitmm_to_bits, bitmm_to_int
 from qgtc_ppopp22_tpu.ops.bitpack import BitTensor, val2bit
+from qgtc_ppopp22_tpu.ops.digits import DigitTensor
+from qgtc_ppopp22_tpu.ops.digitmm import digitmm_to_digits, digitmm_to_f32
+
+
+def _mm_to_bits(a, b, out_bits, tile_map=None, interpret=None):
+    """Container-dispatching bit-GEMM (packed or digit working format)."""
+    if isinstance(a, DigitTensor):
+        return digitmm_to_digits(a, b, out_bits, tile_map=tile_map,
+                                 interpret=interpret)
+    return bitmm_to_bits(a, b, out_bits, tile_map=tile_map,
+                         interpret=interpret)
+
+
+def _mm_to_f32(a, b, tile_map=None, interpret=None):
+    if isinstance(a, DigitTensor):
+        return digitmm_to_f32(a, b, tile_map=tile_map, interpret=interpret)
+    return bitmm_to_int(a, b, tile_map=tile_map, interpret=interpret)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -76,10 +93,24 @@ def init_weights(
 
 
 def pack_weights(
-    weights: Sequence[jnp.ndarray], bit_width: int
-) -> List[BitTensor]:
-    """Quantize + pack weights once (reference ``main_qgtc.py:108-110``)."""
-    return [val2bit(w, bit_width) for w in weights]
+    weights: Sequence[jnp.ndarray],
+    bit_width: int,
+    fmt: str = "bits",
+) -> List:
+    """Quantize + pack weights once (reference ``main_qgtc.py:108-110``).
+
+    ``fmt='bits'`` returns packed :class:`BitTensor`\ s (storage
+    format), ``fmt='digits'`` int8 :class:`DigitTensor`\ s (compute
+    format, the fast path on TPU).
+    """
+    from qgtc_ppopp22_tpu.ops.digits import digit_pack
+    from qgtc_ppopp22_tpu.ops.quantize import quantize
+
+    if fmt == "bits":
+        return [val2bit(w, bit_width) for w in weights]
+    if fmt == "digits":
+        return [digit_pack(quantize(w, bit_width), bit_width) for w in weights]
+    raise ValueError(f"unknown weight format {fmt!r}")
 
 
 def qgcn_forward(
@@ -98,11 +129,11 @@ def qgcn_forward(
     h = bit_x
     n_layers = len(bit_ws)
     for l, w in enumerate(bit_ws):
-        h = bitmm_to_bits(h, w, out_bits, interpret=interpret)
+        h = _mm_to_bits(h, w, out_bits, interpret=interpret)
         if l < n_layers - 1:
-            h = bitmm_to_bits(bit_a, h, out_bits, tile_map=tile_map,
-                              interpret=interpret)
-    return bitmm_to_int(bit_a, h, tile_map=tile_map, interpret=interpret)
+            h = _mm_to_bits(bit_a, h, out_bits, tile_map=tile_map,
+                            interpret=interpret)
+    return _mm_to_f32(bit_a, h, tile_map=tile_map, interpret=interpret)
 
 
 def qgin_forward(
@@ -118,13 +149,13 @@ def qgin_forward(
     Aggregate-then-update (``main_qgtc.py:131-138``): the final
     multiply is by the output weight, not the adjacency.
     """
-    h = bitmm_to_bits(bit_a, bit_x, out_bits, tile_map=tile_map,
-                      interpret=interpret)
+    h = _mm_to_bits(bit_a, bit_x, out_bits, tile_map=tile_map,
+                    interpret=interpret)
     for w in bit_ws[:-1]:
-        h = bitmm_to_bits(h, w, out_bits, interpret=interpret)
-        h = bitmm_to_bits(bit_a, h, out_bits, tile_map=tile_map,
-                          interpret=interpret)
-    return bitmm_to_int(h, bit_ws[-1], interpret=interpret)
+        h = _mm_to_bits(h, w, out_bits, interpret=interpret)
+        h = _mm_to_bits(bit_a, h, out_bits, tile_map=tile_map,
+                        interpret=interpret)
+    return _mm_to_f32(h, bit_ws[-1], interpret=interpret)
 
 
 # ---------------------------------------------------------------------------

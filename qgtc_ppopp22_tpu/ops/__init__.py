@@ -15,3 +15,15 @@ from qgtc_ppopp22_tpu.ops.bitgemm import (
     zero_tile_stats,
     flops_convention,
 )
+from qgtc_ppopp22_tpu.ops.digits import (
+    DigitTensor,
+    to_digit_tensor,
+    digit_pack,
+    digit_unpack,
+)
+from qgtc_ppopp22_tpu.ops.digitmm import (
+    digitmm_to_digits,
+    digitmm_to_f32,
+    build_tile_map_digits,
+    zero_tile_stats_digits,
+)

@@ -1,0 +1,135 @@
+"""Digit-domain working format: int8 base-16 digit planes.
+
+Two-format architecture (the TPU answer to the reference's single
+packed format):
+
+* **Storage / transfer format** — packed uint32 bit-planes
+  (:class:`~qgtc_ppopp22_tpu.ops.bitpack.BitTensor`): 8-32x smaller on
+  HBM and over host->device / ICI links. This matches the reference's
+  packed layouts (``kernel.h:75-242``) and its epoch-timing boundary,
+  which transfers packed tensors per step (``main_qgtc.py:115``).
+* **Compute format** — int8 *digit* planes (this module):
+  ``digits[d]`` holds base-16 digit ``d`` of the quantized levels, so
+  a w-bit x a-bit GEMM is ``ceil(w/4) * ceil(a/4)`` native int8 MXU
+  passes: ``C = sum_{d,e} dot(A_d, B_e) << 4*(d+e)`` — exact integer
+  arithmetic (digit values < 16, products < 256, int32 accumulation).
+
+Why not compute straight from the packed form? Unpacking uint32
+bit-planes inside the GEMM kernel costs ~3 VPU ops per operand
+element; at the reference's benchmark shapes that is 2-3x more time
+than simply DMA-ing the 8x-larger int8 digits from HBM (measured on
+this chip: in-kernel-unpack GEMM ~41 us vs int8-operand GEMM ~27 us at
+M=K=4096). The reference faces no such trade-off because Ampere BMMA
+*consumes* packed bits natively (``bmma_sync`` b1 fragments,
+``kernel.h:301-335``); the MXU consumes int8. So: bit-planes when
+bytes move, digits when the MXU runs, one conversion per tensor
+amortized across all its GEMM uses (the adjacency participates in 3-6
+multiplies per model forward, ``main_qgtc.py:127-154``).
+
+All digit tensors are zero-padded to multiples of 128 in both
+dimensions (lane width / MXU tile); zero padding is exact (level 0
+rows/cols contribute nothing and requantize to 0).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from qgtc_ppopp22_tpu.ops.bitpack import (
+    DIGIT_BITS,
+    LANE,
+    BitTensor,
+    num_digits,
+    round_up,
+    unpack_plane_words,
+)
+
+__all__ = ["DigitTensor", "to_digit_tensor", "digit_pack", "digit_unpack"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DigitTensor:
+    """A logically (M, K) integer-level matrix as int8 digit planes.
+
+    ``digits``: int8[ndigits, Mp, Kp] with Mp/Kp = next multiple of
+    128; digit ``d`` holds bits ``4d .. 4d+3`` of each level.
+    """
+
+    digits: jax.Array
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    bits: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def ndigits(self) -> int:
+        return self.digits.shape[0]
+
+    @property
+    def padded_rows(self) -> int:
+        return self.digits.shape[1]
+
+    @property
+    def padded_cols(self) -> int:
+        return self.digits.shape[2]
+
+    def nbytes(self) -> int:
+        return self.digits.size
+
+
+def to_digit_tensor(bt: BitTensor) -> DigitTensor:
+    """Packed bit-planes -> digit planes (device op, one VPU pass).
+
+    The padded 256-multiple extents of the packed container are
+    trimmed to 128 multiples (the trimmed region is zero padding).
+    """
+    M, K = bt.shape
+    Mp, Kp = round_up(M, LANE), round_up(K, LANE)
+    ones = unpack_plane_words(bt.planes)  # [bits, Mw*32, Kp256]
+    nd = num_digits(bt.bits)
+    out = []
+    for d in range(nd):
+        lo = d * DIGIT_BITS
+        hi = min(lo + DIGIT_BITS, bt.bits)
+        acc = ones[lo]
+        for b in range(lo + 1, hi):
+            acc = acc | (ones[b] << jnp.uint32(b - lo))
+        out.append(acc[:Mp, :Kp].astype(jnp.int8))
+    return DigitTensor(digits=jnp.stack(out), shape=(M, K), bits=bt.bits)
+
+
+def digit_pack(q: jnp.ndarray, bits: int) -> DigitTensor:
+    """Integer levels (M, K) -> digit planes directly (no bit packing).
+
+    Like the packers (``kernel.h:204-242``), only the low ``bits``
+    bits of each level are kept (level ``2^bits`` wraps to 0).
+    """
+    M, K = q.shape
+    Mp, Kp = round_up(max(M, 1), LANE), round_up(max(K, 1), LANE)
+    q = jnp.pad(
+        q.astype(jnp.uint32) & jnp.uint32((1 << bits) - 1),
+        ((0, Mp - M), (0, Kp - K)),
+    )
+    nd = num_digits(bits)
+    out = []
+    for d in range(nd):
+        width = min(DIGIT_BITS, bits - d * DIGIT_BITS)
+        dig = (q >> jnp.uint32(d * DIGIT_BITS)) & jnp.uint32(
+            (1 << width) - 1
+        )
+        out.append(dig.astype(jnp.int8))
+    return DigitTensor(digits=jnp.stack(out), shape=(M, K), bits=bits)
+
+
+def digit_unpack(dt: DigitTensor) -> jnp.ndarray:
+    """Digit planes -> int32 levels (M, K)."""
+    M, K = dt.shape
+    vals = jnp.zeros(dt.digits.shape[1:], jnp.int32)
+    for d in range(dt.ndigits):
+        vals = vals + (
+            dt.digits[d].astype(jnp.int32) << (d * DIGIT_BITS)
+        )
+    return vals[:M, :K]

@@ -114,3 +114,34 @@ def test_end_to_end_cluster_batch_pipeline(rng):
     labels, mask = batch_labels(ds, batch)
     assert labels.shape == (batch.padded_nodes,)
     assert mask.sum() == batch.num_nodes
+
+
+def test_qgcn_digit_path_matches_golden(rng):
+    """Same model through the DigitTensor compute format."""
+    from qgtc_ppopp22_tpu.ops.digits import digit_pack
+    from qgtc_ppopp22_tpu.ops.digitmm import build_tile_map_digits
+
+    bits = 2
+    n, dim = 256, 32
+    a, qx = make_inputs(rng, n, dim, bits)
+    cfg = QModelConfig(dim, 16, 8, bit_width=bits)
+    ws = init_weights(jax.random.PRNGKey(7), cfg)
+    qws = [quantize_np(np.asarray(w), bits) for w in ws]
+
+    da = digit_pack(jnp.asarray(a), 1)
+    dx = digit_pack(jnp.asarray(qx), bits)
+    dws = [digit_pack(jnp.asarray(qw), bits) for qw in qws]
+
+    got = np.asarray(qgcn_forward(da, dx, dws, out_bits=bits))
+    want = qgcn_golden(a, qx, qws, bits, bits)
+    np.testing.assert_array_equal(got, want.astype(np.float32))
+
+    tm = build_tile_map_digits(da)
+    got_sp = np.asarray(
+        qgcn_forward(da, dx, dws, out_bits=bits, tile_map=tm)
+    )
+    np.testing.assert_array_equal(got_sp, want.astype(np.float32))
+
+    got_gin = np.asarray(qgin_forward(da, dx, dws, out_bits=bits))
+    want_gin = qgin_golden(a, qx, qws, bits, bits)
+    np.testing.assert_array_equal(got_gin, want_gin.astype(np.float32))
