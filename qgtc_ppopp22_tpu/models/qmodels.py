@@ -99,8 +99,8 @@ def pack_weights(
 ) -> List:
     """Quantize + pack weights once (reference ``main_qgtc.py:108-110``).
 
-    ``fmt='bits'`` returns packed :class:`BitTensor`\ s (storage
-    format), ``fmt='digits'`` int8 :class:`DigitTensor`\ s (compute
+    ``fmt='bits'`` returns packed ``BitTensor``s (storage
+    format), ``fmt='digits'`` int8 ``DigitTensor``s (compute
     format, the fast path on TPU).
     """
     from qgtc_ppopp22_tpu.ops.digits import digit_pack

@@ -59,9 +59,16 @@ def _pick_tile(total: int, candidates) -> int:
 
 
 def digit_lhs_tiles(a: DigitTensor):
-    """(tile_m, tile_k) the digit GEMM will use for this left operand."""
+    """(tile_m, tile_k) granularity for sparse (zero-tile) schedules.
+
+    Finer than the dense-path tiles on purpose: cluster-batch
+    adjacencies skip ~0% of 512x512 tiles but ~20% of 256x256 ones
+    (any single edge voids a skip, so smaller tiles find more holes —
+    the reference skips 8x128-bit tiles for the same reason,
+    ``kernel.h:572-592``).
+    """
     _, mp, kp = a.digits.shape
-    return _pick_tile(mp, (512, 256, 128)), _pick_tile(kp, (512, 256, 128))
+    return _pick_tile(mp, (256, 128)), _pick_tile(kp, (256, 128))
 
 
 def build_tile_map_digits(

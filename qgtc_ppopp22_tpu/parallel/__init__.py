@@ -1,0 +1,6 @@
+from qgtc_ppopp22_tpu.parallel.sharded import (
+    dp_sp_epoch_step,
+    make_mesh,
+    shard_batches,
+    sp_gcn_forward,
+)
