@@ -1,0 +1,123 @@
+"""End-to-end epoch benchmark harness (reference ``0_7a`` / ``0_7b`` /
+``1_7a`` / ``1_7b`` script family in one driver).
+
+Loops datasets x engines (QGTC quantized vs full-precision baseline) x
+models (Cluster-GCN / batched-GIN), invoking the same code path as
+``qgtc_ppopp22_tpu.cli``, and writes a structured CSV — replacing the
+reference's ``os.system`` + log-scrape pipeline
+(``0_7a_eval_QGTC_cluster_GCN.py:20-47``, ``parse_time.py``).
+
+Usage::
+
+    python benchmarks/run_all.py --datasets Proteins artist ppi \
+        [--gin] [--bits 1 2 4 8] [--csv results/epochs.csv]
+"""
+
+import argparse
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/qgtc_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import numpy as np
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument(
+        "--datasets",
+        nargs="+",
+        default=["Proteins", "artist", "soc-BlogCatalog", "ppi",
+                 "ogbn-arxiv"],
+    )
+    p.add_argument("--bits", nargs="+", type=int, default=[2])
+    p.add_argument("--gin", action="store_true")
+    p.add_argument("--baseline", action="store_true",
+                   help="also run the full-precision baseline engine")
+    p.add_argument("--psize", type=int, default=1500)
+    p.add_argument("--batch-size", type=int, default=20)
+    p.add_argument("--n-epochs", type=int, default=10)
+    p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--zerotile_jump", action="store_true")
+    p.add_argument("--csv", type=str, default="results/epochs.csv")
+    args = p.parse_args()
+
+    from qgtc_ppopp22_tpu.graph import ClusterBatcher, load_dataset
+    from qgtc_ppopp22_tpu.runtime import BaselineEngine, QGTCEngine
+
+    model = "gin" if args.gin else "gcn"
+    rows = []
+    for name in args.datasets:
+        ds = load_dataset(name, scale=args.scale)
+        for bits in args.bits:
+            it = ClusterBatcher(
+                ds,
+                psize=args.psize,
+                batch_size=args.batch_size,
+                bit_width=bits,
+                cache_dir="./datasets",
+            )
+            eng = QGTCEngine(
+                feat_dim=it.feat_dim,
+                num_classes=ds.num_classes,
+                model=model,
+                bit_width=bits,
+                zerotile_jump=args.zerotile_jump,
+            )
+            st = eng.run_epochs(it, n_epochs=args.n_epochs, resident=True)
+            acc = eng.evaluate(it, ds.labels)
+            row = dict(
+                dataset=name,
+                model=model,
+                engine="qgtc",
+                bits=bits,
+                epoch_ms=round(
+                    float(np.median(st.epoch_ms[args.n_epochs // 2 :])), 3
+                ),
+                accuracy=round(acc, 4),
+            )
+            rows.append(row)
+            print(row, flush=True)
+
+        if args.baseline:
+            it = ClusterBatcher(
+                ds,
+                psize=args.psize,
+                batch_size=args.batch_size,
+                bit_width=2,
+                cache_dir="./datasets",
+            )
+            beng = BaselineEngine(
+                feat_dim=it.feat_dim,
+                num_classes=ds.num_classes,
+                model="gin" if args.gin else "sage",
+            )
+            st = beng.run_epochs(it, ds, n_epochs=args.n_epochs)
+            row = dict(
+                dataset=name,
+                model=model,
+                engine="fp-baseline",
+                bits=32,
+                epoch_ms=round(
+                    float(np.median(st.epoch_ms[args.n_epochs // 2 :])), 3
+                ),
+                accuracy=float("nan"),
+            )
+            rows.append(row)
+            print(row, flush=True)
+
+    if args.csv and rows:
+        from qgtc_ppopp22_tpu.utils.metrics import write_csv
+
+        write_csv(args.csv, rows, list(rows[0].keys()))
+        print(f"wrote {args.csv}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
