@@ -35,6 +35,18 @@ from qgtc_ppopp22_tpu.ops.bitpack import BitTensor, pack_bits_np, round_up
 DEFAULT_BUCKET_ROWS = 512
 
 
+def _native_or_none():
+    """The native host library, or None (NumPy fallback paths)."""
+    try:
+        from qgtc_ppopp22_tpu import native
+
+        if native.available():
+            return native
+    except Exception:
+        pass
+    return None
+
+
 def quantize_np(x: np.ndarray, bits: int) -> np.ndarray:
     """NumPy mirror of :func:`qgtc_ppopp22_tpu.ops.quantize.quantize`."""
     ub = float(1 << bits)
@@ -121,17 +133,48 @@ class ClusterBatcher:
 
     def _build_batch(self, g: CSRGraph, i: int) -> ClusterBatch:
         parts = self.par_li[i * self.batch_size : (i + 1) * self.batch_size]
-        nodes = np.sort(np.concatenate([p for p in parts if len(p)]))
+        nonempty = [p for p in parts if len(p)]
+        nodes = (
+            np.sort(np.concatenate(nonempty))
+            if nonempty
+            else np.empty(0, np.int64)
+        )
         n = len(nodes)
         pn = round_up(max(n, 1), self.bucket_rows)
 
-        dense_a = np.zeros((pn, pn), np.uint8)
-        dense_a[:n, :n] = g.subgraph_dense(nodes)
         x = np.zeros((pn, self.feat_dim), np.float32)
         x[:n] = self.features[nodes]
 
-        bit_a = pack_bits_np(dense_a.astype(np.int32), 1)
-        bit_x = pack_bits_np(quantize_np(x, self.bit_width), self.bit_width)
+        native = _native_or_none()
+        if native is not None:
+            dense_a = native.subgraph_dense_native(
+                g.indptr, g.indices, nodes, pn
+            )
+            from qgtc_ppopp22_tpu.ops.bitpack import (
+                COL_PAD,
+                ROW_PAD,
+                BitTensor,
+            )
+
+            a_planes = native.pack_bits_u32_2d(dense_a, 1, pn, pn)
+            bit_a = BitTensor(planes=a_planes, shape=(pn, pn), bits=1)
+            qx = native.quantize_native(x, self.bit_width)
+            xp = round_up(self.feat_dim, COL_PAD)
+            x_planes = native.pack_bits_u32_2d(
+                qx, self.bit_width, round_up(pn, ROW_PAD), xp
+            )
+            bit_x = BitTensor(
+                planes=x_planes,
+                shape=(pn, self.feat_dim),
+                bits=self.bit_width,
+            )
+        else:
+            dense_a = np.zeros((pn, pn), np.uint8)
+            dense_a[:n, :n] = g.subgraph_dense(nodes)
+            bit_a = pack_bits_np(dense_a.astype(np.int32), 1)
+            bit_x = pack_bits_np(
+                quantize_np(x, self.bit_width), self.bit_width
+            )
         return ClusterBatch(
             nodes=nodes,
             bit_A=bit_a,

@@ -107,35 +107,32 @@ def get_partition_list(
     are given. ``method='auto'`` prefers the native C++ partitioner
     when available, else ``bfs``.
     """
+    if method == "auto":
+        # Resolve before the cache lookup so the cache is keyed by the
+        # algorithm that actually produced it.
+        try:
+            from qgtc_ppopp22_tpu import native
+
+            method = "native" if native.available() else "bfs"
+        except Exception:
+            method = "bfs"
+
     if cache_dir and cache_name:
         fn = os.path.join(cache_dir, f"{cache_name}_{psize}_{method}.npz")
         if os.path.exists(fn):
             with np.load(fn, allow_pickle=False) as z:
                 return [z[f"p{i}"] for i in range(int(z["psize"]))]
 
-    if method == "auto":
-        try:
-            from qgtc_ppopp22_tpu.native import partition_native
-
-            parts = partition_native(g, psize)
-            method_used = "native"
-        except Exception:
-            parts = _partition_bfs(g.undirected_scipy(), psize)
-            method_used = "bfs"
-    elif method == "rcm":
+    if method == "rcm":
         parts = _partition_rcm(g.undirected_scipy(), psize)
-        method_used = "rcm"
     elif method == "bfs":
         parts = _partition_bfs(g.undirected_scipy(), psize)
-        method_used = "bfs"
     elif method == "native":
         from qgtc_ppopp22_tpu.native import partition_native
 
         parts = partition_native(g, psize)
-        method_used = "native"
     else:
         raise ValueError(f"unknown partition method {method!r}")
-    del method_used
 
     if cache_dir and cache_name:
         os.makedirs(cache_dir, exist_ok=True)
