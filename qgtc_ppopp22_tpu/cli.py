@@ -57,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fmt", choices=("digits", "bits"), default="digits")
     p.add_argument("--resident", action="store_true",
                    help="park packed batches in HBM; time compute only")
+    p.add_argument("--mode", choices=("step", "fused", "mega"),
+                   default="step",
+                   help="epoch execution: per-batch dispatch, scanned "
+                        "epoch-per-dispatch, or whole-epoch mega kernel")
+    p.add_argument("--sync-every-epoch", action="store_true",
+                   help="per-epoch wall times instead of the "
+                        "reference's one-sync-at-end methodology")
     p.add_argument("--bucket-rows", type=int, default=512)
     p.add_argument("--partition-method", type=str, default="auto")
     p.add_argument("--cache-dir", type=str, default="./datasets")
@@ -109,6 +116,7 @@ def main(argv=None) -> int:
         n_epochs=args.n_epochs,
         zerotile_jump=args.zerotile_jump,
         resident=args.resident,
+        mode=args.mode,
     )
 
     if args.regular:
@@ -136,9 +144,21 @@ def main(argv=None) -> int:
         t0 = time.perf_counter()
         eng.warmup(batcher)
         print(f"[t] warmup/compile: {time.perf_counter()-t0:.1f}s")
-        stats = eng.run_epochs(
-            batcher, n_epochs=args.n_epochs, resident=args.resident
-        )
+        if args.mode == "mega":
+            stats = eng.run_epochs_mega(
+                batcher, n_epochs=args.n_epochs,
+                sync_every_epoch=args.sync_every_epoch,
+            )
+        elif args.mode == "fused":
+            stats = eng.run_epochs_fused(
+                batcher, n_epochs=args.n_epochs,
+                sync_every_epoch=args.sync_every_epoch,
+            )
+        else:
+            stats = eng.run_epochs(
+                batcher, n_epochs=args.n_epochs, resident=args.resident,
+                sync_every_epoch=args.sync_every_epoch,
+            )
         if args.eval_accuracy:
             acc = eng.evaluate(batcher, ds.labels)
             record["accuracy"] = acc

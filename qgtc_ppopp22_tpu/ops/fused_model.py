@@ -1,0 +1,206 @@
+"""Whole-model mega-kernel: the full GCN/GIN chain in one Pallas call.
+
+The reference's fusion unit is one GEMM (requant+repack folded into
+the epilogue, ``kernel.h:347-389``) because 100 KB of shared memory
+cannot hold a cluster batch. A TPU core's ~16 MB VMEM can hold the
+whole *model state* of a cluster batch (hidden matrices, weights) —
+so this kernel runs all six chained GEMMs of a 3-layer GCN/GIN per
+batch in-core, with requantization between layers and zero HBM
+round-trips for intermediates. The adjacency (the one large operand,
+6.5 MB at pn=2560) streams through a manually double-buffered
+row-chunk pipeline from HBM for each aggregation, overlapping DMA
+with the MXU work of the previous chunk. The grid iterates over the
+stacked batches of an epoch, so ONE kernel launch executes the whole
+epoch — per-batch dispatch costs more in launch latency than the
+math (29 ms/epoch dispatched vs ~25 us/batch of DMA+MXU).
+
+Dataflows (SURVEY §3, ``main_qgtc.py:127-154``):
+  GCN: XW1 -> A(.) -> (.)W2 -> A(.) -> (.)W3 -> A(.) [f32 out]
+  GIN: AX -> (.)W1 -> A(.) -> (.)W2 -> A(.) -> (.)W3 [f32 out]
+
+Operands are int8 digit planes (adjacency is 1-bit = one digit, by
+reference convention ``main_qgtc.py:104``); hidden levels are carried
+as base-16 digit lists, the digit algebra of ``ops/digitmm.py``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qgtc_ppopp22_tpu.ops.bitpack import DIGIT_BITS, num_digits
+from qgtc_ppopp22_tpu.ops.digits import DigitTensor
+
+__all__ = ["fused_model_epoch"]
+
+_DOT = (((1,), (0,)), ((), ()))
+_CHUNK = 512  # adjacency rows per DMA chunk (2 buffers resident)
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _digit_dot(a_digits, b_digits):
+    """sum_{d,e} dot(a_d, b_e) << 4(d+e) with int32 accumulation."""
+    acc = None
+    for d, ad in enumerate(a_digits):
+        for e, bd in enumerate(b_digits):
+            part = jax.lax.dot_general(
+                ad, bd, _DOT, preferred_element_type=jnp.int32
+            )
+            shift = DIGIT_BITS * (d + e)
+            part = part << shift if shift else part
+            acc = part if acc is None else acc + part
+    return acc
+
+
+def _requant_digits(acc, out_bits: int) -> List[jnp.ndarray]:
+    """Reference epilogue (kernel.h:347-351) -> base-16 digit list."""
+    ub = 1 << out_bits
+    r = jnp.where(acc > ub, ub - 1, jnp.where(acc < 0, 1, acc))
+    r = r & (ub - 1)
+    out = []
+    for d in range(num_digits(out_bits)):
+        width = min(DIGIT_BITS, out_bits - d * DIGIT_BITS)
+        out.append(
+            ((r >> (d * DIGIT_BITS)) & ((1 << width) - 1)).astype(jnp.int8)
+        )
+    return out
+
+
+def fused_model_epoch(
+    a_stack: jax.Array,  # int8[B, pn, pn] 1-bit adjacency levels
+    x_stack: jax.Array,  # int8[B, nd_x, pn, xp] feature digits
+    ws: Sequence[DigitTensor],  # weights, digit planes (replicated)
+    out_bits: int,
+    model: str = "gcn",
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Run the full model over every stacked batch in ONE pallas call.
+
+    Returns float32 logits [B, pn, cls_padded].
+    """
+    B, pn, pn2 = a_stack.shape
+    _, nd_x, pnx, xp = x_stack.shape
+    if pn != pn2 or pn != pnx:
+        raise ValueError(f"bad stacked shapes {a_stack.shape} {x_stack.shape}")
+    if model not in ("gcn", "gin"):
+        raise ValueError(model)
+    chunk = min(_CHUNK, pn)
+    if pn % chunk:
+        raise ValueError(f"pn={pn} not a multiple of chunk {chunk}")
+    nch = pn // chunk
+    n_layers = len(ws)
+    cp = ws[-1].digits.shape[2]
+
+    def kernel(x_ref, *rest):
+        ws_refs = rest[:n_layers]
+        a_hbm, o_ref, a_buf, acc_ref, sem = rest[n_layers:]
+        b = pl.program_id(0)
+
+        x_digits = [x_ref[0, d] for d in range(nd_x)]
+        w_digits = [
+            [w_ref[d] for d in range(w_ref.shape[0])] for w_ref in ws_refs
+        ]
+
+        def copy(c, slot):
+            return pltpu.make_async_copy(
+                a_hbm.at[b, pl.ds(c * chunk, chunk), :],
+                a_buf.at[slot],
+                sem.at[slot],
+            )
+
+        def agg(h_digits, final: bool):
+            """acc_rows = A @ H, streamed over A row-chunks.
+
+            Double-buffered: chunk c+1's DMA is in flight while chunk
+            c multiplies. Results land in ``acc_ref`` (or straight
+            into the f32 output block when ``final``).
+            """
+            ncols = h_digits[0].shape[1]
+            copy(0, 0).start()
+
+            # Statically unrolled chunk loop (nch is small): keeps the
+            # buffer/slot indices constant so Mosaic lowers each chunk
+            # dot onto the MXU.
+            for c in range(nch):
+                slot = c % 2
+                if c + 1 < nch:
+                    copy(c + 1, (c + 1) % 2).start()
+                copy(c, slot).wait()
+                a_c = a_buf[slot]
+                part = _digit_dot([a_c], h_digits)
+                if final:
+                    o_ref[0, c * chunk : (c + 1) * chunk, :] = part.astype(
+                        jnp.float32
+                    )
+                else:
+                    acc_ref[c * chunk : (c + 1) * chunk, 0:ncols] = part
+            if final:
+                return None
+            return _requant_digits(acc_ref[:, 0:ncols], out_bits)
+
+        def upd(h_digits, w_dg):
+            return _requant_digits(_digit_dot(h_digits, w_dg), out_bits)
+
+        if model == "gcn":
+            h = upd(x_digits, w_digits[0])
+            for l in range(1, n_layers):
+                h = agg(h, final=False)
+                h = upd(h, w_digits[l])
+            agg(h, final=True)
+        else:  # gin: aggregate first, weight-multiply last
+            h = agg(x_digits, final=False)
+            h = upd(h, w_digits[0])
+            for l in range(1, n_layers - 1):
+                h = agg(h, final=False)
+                h = upd(h, w_digits[l])
+            h = agg(h, final=False)
+            o_ref[0] = _digit_dot(h, w_digits[-1]).astype(jnp.float32)
+
+    hid_cols = max(w.digits.shape[2] for w in ws[:-1]) if n_layers > 1 else xp
+    hid_cols = max(hid_cols, xp, cp)
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, nd_x, pn, xp), lambda b: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ] + [
+        pl.BlockSpec(w.digits.shape, lambda b: (0, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for w in ws
+    ] + [
+        pl.BlockSpec(memory_space=pltpu.ANY),  # a_stack stays in HBM
+    ]
+
+    out_shape = jax.ShapeDtypeStruct((B, pn, cp), jnp.float32)
+    run = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, pn, cp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, pn), jnp.int8),  # A chunk double-buffer
+            pltpu.VMEM((pn, hid_cols), jnp.int32),  # aggregation accumulator
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * pn * pn * 128 * (n_layers + 1),
+            bytes_accessed=a_stack.size * (n_layers + 1) + x_stack.size,
+            transcendentals=0,
+        ),
+        interpret=_interpret_default() if interpret is None else interpret,
+    )
+    return run(x_stack, *[w.digits for w in ws], a_stack)

@@ -59,12 +59,45 @@ def test_engine_epochs_and_eval(small):
     eng = QGTCEngine(
         feat_dim=it.feat_dim, num_classes=ds.num_classes, bit_width=2
     )
-    st = eng.run_epochs(it, n_epochs=2)
+    st = eng.run_epochs(it, n_epochs=2, sync_every_epoch=True)
     assert len(st.epoch_ms) == 2 and st.n_batches == len(it)
+    # reference methodology: one sync at the end -> single amortized avg
     st2 = eng.run_epochs(it, n_epochs=2, resident=True)
-    assert len(st2.epoch_ms) == 2
+    assert len(st2.epoch_ms) == 1 and st2.avg_ms > 0
     acc = eng.evaluate(it, ds.labels)
     assert 0.0 <= acc <= 1.0
+
+
+def test_engine_fused_and_mega_match_stepwise(small):
+    ds, it = small
+    eng = QGTCEngine(
+        feat_dim=it.feat_dim, num_classes=ds.num_classes, bit_width=2,
+        seed=4,
+    )
+    ref = np.asarray(eng.forward_batch(it.batches[0]))
+
+    # fused (scan) epoch produces logits for every batch; spot-check
+    # the first group's first batch via the mega path too.
+    st = eng.run_epochs_fused(it, n_epochs=1)
+    assert st.avg_ms > 0
+    st = eng.run_epochs_mega(it, n_epochs=1)
+    assert st.avg_ms > 0
+
+    # mega output correctness vs per-step path
+    import jax, jax.numpy as jnp
+    from qgtc_ppopp22_tpu.ops.digits import to_digit_tensor
+    from qgtc_ppopp22_tpu.ops.fused_model import fused_model_epoch
+
+    b = it.batches[0]
+    a_lv = to_digit_tensor(jax.device_put(b.bit_A)).digits[0]
+    x_dg = to_digit_tensor(jax.device_put(b.bit_X)).digits
+    out = fused_model_epoch(
+        a_lv[None], jnp.asarray(x_dg)[None], tuple(eng.weights), 2,
+        model="gcn",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out[0])[:, : ref.shape[1]], ref
+    )
 
 
 def test_gin_engine(small):
