@@ -70,6 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rnd_seed", type=int, default=3)
     p.add_argument("--eval-accuracy", action="store_true")
     p.add_argument("--json-out", type=str, default=None)
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="capture a jax.profiler trace of the timed "
+                        "epochs into this directory")
     return p
 
 
@@ -144,6 +147,12 @@ def main(argv=None) -> int:
         t0 = time.perf_counter()
         eng.warmup(batcher)
         print(f"[t] warmup/compile: {time.perf_counter()-t0:.1f}s")
+        prof = None
+        if args.profile_dir:
+            import jax
+
+            prof = jax.profiler.trace(args.profile_dir)
+            prof.__enter__()
         if args.mode == "mega":
             stats = eng.run_epochs_mega(
                 batcher, n_epochs=args.n_epochs,
@@ -159,6 +168,8 @@ def main(argv=None) -> int:
                 batcher, n_epochs=args.n_epochs, resident=args.resident,
                 sync_every_epoch=args.sync_every_epoch,
             )
+        if args.profile_dir and prof is not None:
+            prof.__exit__(None, None, None)
         if args.eval_accuracy:
             acc = eng.evaluate(batcher, ds.labels)
             record["accuracy"] = acc

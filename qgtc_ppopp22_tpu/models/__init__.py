@@ -14,3 +14,9 @@ from qgtc_ppopp22_tpu.models.baselines import (
     int8_mm,
     sparse_aggregate,
 )
+from qgtc_ppopp22_tpu.models.layers import (
+    QAggregation,
+    QGCNConv,
+    QGINConv,
+    QLinear,
+)

@@ -4,3 +4,8 @@ from qgtc_ppopp22_tpu.parallel.sharded import (
     shard_batches,
     sp_gcn_forward,
 )
+from qgtc_ppopp22_tpu.parallel.multihost import (
+    host_batch_slice,
+    initialize,
+    pod_mesh,
+)

@@ -145,3 +145,35 @@ def test_qgcn_digit_path_matches_golden(rng):
     got_gin = np.asarray(qgin_forward(da, dx, dws, out_bits=bits))
     want_gin = qgin_golden(a, qx, qws, bits, bits)
     np.testing.assert_array_equal(got_gin, want_gin.astype(np.float32))
+
+
+def test_layer_api_composes_to_model(rng):
+    """QGCNConv/QGINConv layer objects reproduce the model forwards."""
+    from qgtc_ppopp22_tpu.models.layers import QGCNConv, QGINConv
+    from qgtc_ppopp22_tpu.ops.digits import digit_pack
+
+    bits = 2
+    n, dim = 256, 32
+    a, qx = make_inputs(rng, n, dim, bits)
+    cfg = QModelConfig(dim, 16, 8, bit_width=bits)
+    ws = init_weights(jax.random.PRNGKey(9), cfg)
+    qws = [quantize_np(np.asarray(w), bits) for w in ws]
+
+    da = digit_pack(jnp.asarray(a), 1)
+    dx = digit_pack(jnp.asarray(qx), bits)
+
+    layers = [QGCNConv.create(w, bits) for w in ws]
+    h = dx
+    for lay in layers[:-1]:
+        h = lay(da, h)
+    got = np.asarray(layers[-1](da, h, final=True))
+    want = qgcn_golden(a, qx, qws, bits, bits)
+    np.testing.assert_array_equal(got, want.astype(np.float32))
+
+    glayers = [QGINConv.create(w, bits) for w in ws]
+    h = dx
+    for lay in glayers[:-1]:
+        h = lay(da, h)
+    got = np.asarray(glayers[-1](da, h, final=True))
+    want = qgin_golden(a, qx, qws, bits, bits)
+    np.testing.assert_array_equal(got, want.astype(np.float32))
