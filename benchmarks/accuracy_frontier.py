@@ -1,0 +1,98 @@
+"""Accuracy-vs-bit-width frontier (BASELINE.json config 4).
+
+Trains the quantization-aware float twin per bit width (QAT:
+smooth pretrain -> shift calibration -> STE fine-tune, see
+``models/train.py``) and reports the DEPLOYED quantized engine's
+node-classification accuracy at 1/2/4/8 bits — something the
+reference could never measure (ones-weights, no backward). The STE
+forward is integer-exact to the engine, so train accuracy == deployed
+accuracy by construction (asserted in tests).
+
+Usage::
+
+    python benchmarks/accuracy_frontier.py --datasets Proteins artist \
+        --scale 0.05 --csv results/accuracy_frontier.csv
+"""
+
+import argparse
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/qgtc_jax_cache")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import numpy as np
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--datasets", nargs="+", default=["Proteins"])
+    p.add_argument("--bits", nargs="+", type=int, default=[1, 2, 4, 8])
+    p.add_argument("--psize", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=2)
+    p.add_argument("--scale", type=float, default=0.05)
+    p.add_argument("--hidden", type=int, default=16)
+    p.add_argument("--gin", action="store_true")
+    p.add_argument("--seeds", nargs="+", type=int, default=[0, 1, 2])
+    p.add_argument("--cpu", action="store_true",
+                   help="force CPU (QAT is small; avoids TPU dispatch)")
+    p.add_argument("--csv", type=str, default=None)
+    args = p.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        import jax.extend.backend
+
+        jax.extend.backend.clear_backends()
+
+    from qgtc_ppopp22_tpu.graph import ClusterBatcher, load_dataset
+    from qgtc_ppopp22_tpu.models.qmodels import QModelConfig
+    from qgtc_ppopp22_tpu.models.train import qat_train
+
+    model = "gin" if args.gin else "gcn"
+    rows = []
+    for name in args.datasets:
+        ds = load_dataset(name, scale=args.scale)
+        for bits in args.bits:
+            it = ClusterBatcher(
+                ds,
+                psize=args.psize,
+                batch_size=args.batch_size,
+                bit_width=bits,
+                shuffle=False,
+            )
+            cfg = QModelConfig(
+                it.feat_dim, args.hidden, ds.num_classes, bit_width=bits
+            )
+            best = (0.0, None, None)
+            for seed in args.seeds:
+                ws, sh, acc = qat_train(ds, it, cfg, model=model, seed=seed)
+                if acc > best[0]:
+                    best = (acc, sh, seed)
+            row = dict(
+                dataset=name,
+                model=model,
+                bits=bits,
+                accuracy=round(best[0], 4),
+                chance=round(1.0 / ds.num_classes, 4),
+                shifts="/".join(map(str, best[1])),
+                seed=best[2],
+            )
+            rows.append(row)
+            print(row, flush=True)
+
+    if args.csv and rows:
+        from qgtc_ppopp22_tpu.utils.metrics import write_csv
+
+        write_csv(args.csv, rows, list(rows[0].keys()))
+        print(f"wrote {args.csv}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

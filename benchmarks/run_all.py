@@ -44,6 +44,8 @@ def main() -> int:
     p.add_argument("--n-epochs", type=int, default=10)
     p.add_argument("--scale", type=float, default=1.0)
     p.add_argument("--zerotile_jump", action="store_true")
+    p.add_argument("--mode", choices=("step", "fused", "mega"),
+                   default="mega")
     p.add_argument("--csv", type=str, default="results/epochs.csv")
     args = p.parse_args()
 
@@ -69,17 +71,21 @@ def main() -> int:
                 bit_width=bits,
                 zerotile_jump=args.zerotile_jump,
             )
-            st = eng.run_epochs(it, n_epochs=args.n_epochs, resident=True)
-            acc = eng.evaluate(it, ds.labels)
+            if args.mode == "mega":
+                st = eng.run_epochs_mega(it, n_epochs=args.n_epochs)
+            elif args.mode == "fused":
+                st = eng.run_epochs_fused(it, n_epochs=args.n_epochs)
+            else:
+                st = eng.run_epochs(
+                    it, n_epochs=args.n_epochs, resident=True
+                )
             row = dict(
                 dataset=name,
                 model=model,
                 engine="qgtc",
                 bits=bits,
-                epoch_ms=round(
-                    float(np.median(st.epoch_ms[args.n_epochs // 2 :])), 3
-                ),
-                accuracy=round(acc, 4),
+                mode=args.mode,
+                epoch_ms=round(st.avg_ms, 3),
             )
             rows.append(row)
             print(row, flush=True)
@@ -103,10 +109,8 @@ def main() -> int:
                 model=model,
                 engine="fp-baseline",
                 bits=32,
-                epoch_ms=round(
-                    float(np.median(st.epoch_ms[args.n_epochs // 2 :])), 3
-                ),
-                accuracy=float("nan"),
+                mode="step",
+                epoch_ms=round(st.avg_ms, 3),
             )
             rows.append(row)
             print(row, flush=True)

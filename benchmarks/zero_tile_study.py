@@ -77,9 +77,7 @@ def main() -> int:
                 zerotile_jump=zt,
             )
             st = eng.run_epochs(it, n_epochs=args.n_epochs, resident=True)
-            times["zerotile" if zt else "dense"] = float(
-                np.median(st.epoch_ms[args.n_epochs // 2 :])
-            )
+            times["zerotile" if zt else "dense"] = st.avg_ms
 
         row = dict(
             dataset=name,

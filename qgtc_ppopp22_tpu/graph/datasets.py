@@ -165,8 +165,19 @@ def synthesize(
         np.concatenate([src, dst]), np.concatenate([dst, src]), n
     )
     rng = np.random.default_rng(seed + 1)
-    feats = rng.standard_normal((n, dim), dtype=np.float32)
-    labels = rng.integers(0, ncls, n)
+    # Community-correlated labels + noisy label-indicator features:
+    # the ring-lattice edges connect id-adjacent nodes, so id-block
+    # communities align with graph structure and a GNN can actually
+    # learn (the reference fabricates random features and CONSTANT
+    # labels, ``dataset.py:62-67`` — its accuracy is unmeasurable,
+    # SURVEY quirk 6). Features are noisy enough that aggregation
+    # over neighbors genuinely helps.
+    n_comm = max(ncls, 4 * ncls)
+    comm = (np.arange(n, dtype=np.int64) * n_comm) // max(n, 1)
+    labels = comm % ncls
+    feats = rng.standard_normal((n, dim)).astype(np.float32)
+    sig = labels % dim
+    feats[np.arange(n), sig] += 2.5
     train, val, test = _prefix_masks(n)
     return GraphDataset(
         name=name,

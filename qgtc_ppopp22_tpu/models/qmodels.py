@@ -43,11 +43,16 @@ from qgtc_ppopp22_tpu.ops.digits import DigitTensor
 from qgtc_ppopp22_tpu.ops.digitmm import digitmm_to_digits, digitmm_to_f32
 
 
-def _mm_to_bits(a, b, out_bits, tile_map=None, interpret=None):
+def _mm_to_bits(a, b, out_bits, tile_map=None, interpret=None, shift=0):
     """Container-dispatching bit-GEMM (packed or digit working format)."""
     if isinstance(a, DigitTensor):
         return digitmm_to_digits(a, b, out_bits, tile_map=tile_map,
-                                 interpret=interpret)
+                                 interpret=interpret, shift=shift)
+    if shift:
+        raise NotImplementedError(
+            "scaled requant is only on the digit path; the packed "
+            "bitgemm path keeps exact reference semantics (shift=0)"
+        )
     return bitmm_to_bits(a, b, out_bits, tile_map=tile_map,
                          interpret=interpret)
 
@@ -120,19 +125,26 @@ def qgcn_forward(
     out_bits: int,
     tile_map: Optional[TileMap] = None,
     interpret: Optional[bool] = None,
+    shifts: Optional[Sequence[int]] = None,
 ) -> jnp.ndarray:
     """Cluster-GCN forward in the bit domain -> float32 logits.
 
     Update-then-aggregate: features shrink to ``hidden`` before the
-    N x N aggregation (``main_qgtc.py:146-154``).
+    N x N aggregation (``main_qgtc.py:146-154``). ``shifts`` gives the
+    optional per-GEMM power-of-two requant scales (2 entries per
+    hidden layer + 1 for the last update; None = reference semantics).
     """
     h = bit_x
     n_layers = len(bit_ws)
+    sh = list(shifts) if shifts is not None else [0] * (2 * n_layers - 1)
+    si = 0
     for l, w in enumerate(bit_ws):
-        h = _mm_to_bits(h, w, out_bits, interpret=interpret)
+        h = _mm_to_bits(h, w, out_bits, interpret=interpret, shift=sh[si])
+        si += 1
         if l < n_layers - 1:
             h = _mm_to_bits(bit_a, h, out_bits, tile_map=tile_map,
-                            interpret=interpret)
+                            interpret=interpret, shift=sh[si])
+            si += 1
     return _mm_to_f32(bit_a, h, tile_map=tile_map, interpret=interpret)
 
 
@@ -143,18 +155,26 @@ def qgin_forward(
     out_bits: int,
     tile_map: Optional[TileMap] = None,
     interpret: Optional[bool] = None,
+    shifts: Optional[Sequence[int]] = None,
 ) -> jnp.ndarray:
     """Batched-GIN forward in the bit domain -> float32 logits.
 
     Aggregate-then-update (``main_qgtc.py:131-138``): the final
-    multiply is by the output weight, not the adjacency.
+    multiply is by the output weight, not the adjacency. ``shifts`` as
+    in :func:`qgcn_forward`.
     """
+    n_layers = len(bit_ws)
+    sh = list(shifts) if shifts is not None else [0] * (2 * n_layers - 1)
+    si = 0
     h = _mm_to_bits(bit_a, bit_x, out_bits, tile_map=tile_map,
-                    interpret=interpret)
+                    interpret=interpret, shift=sh[si])
+    si += 1
     for w in bit_ws[:-1]:
-        h = _mm_to_bits(h, w, out_bits, interpret=interpret)
+        h = _mm_to_bits(h, w, out_bits, interpret=interpret, shift=sh[si])
+        si += 1
         h = _mm_to_bits(bit_a, h, out_bits, tile_map=tile_map,
-                        interpret=interpret)
+                        interpret=interpret, shift=sh[si])
+        si += 1
     return _mm_to_f32(h, bit_ws[-1], interpret=interpret)
 
 
@@ -169,26 +189,40 @@ def _golden_mm_bits(a, b, a_bits, b_bits, out_bits):
     return bitmm_np(a, b, a_bits, b_bits, out_bits)
 
 
-def qgcn_golden(qa, qx, qws, bit_width: int, out_bits: int) -> np.ndarray:
+def qgcn_golden(
+    qa, qx, qws, bit_width: int, out_bits: int, shifts=None
+) -> np.ndarray:
     """Integer-exact NumPy model of :func:`qgcn_forward`."""
     from tests.golden import bitmm_np
 
-    h, hb = qx, bit_width
     n_layers = len(qws)
+    sh = list(shifts) if shifts is not None else [0] * (2 * n_layers - 1)
+    si = 0
+    h, hb = qx, bit_width
     for l, w in enumerate(qws):
-        h, hb = bitmm_np(h, w, hb, bit_width, out_bits), out_bits
+        h, hb = bitmm_np(h, w, hb, bit_width, out_bits, sh[si]), out_bits
+        si += 1
         if l < n_layers - 1:
-            h = bitmm_np(qa, h, 1, hb, out_bits)
+            h = bitmm_np(qa, h, 1, hb, out_bits, sh[si])
+            si += 1
     return bitmm_np(qa, h, 1, hb, None)
 
 
-def qgin_golden(qa, qx, qws, bit_width: int, out_bits: int) -> np.ndarray:
+def qgin_golden(
+    qa, qx, qws, bit_width: int, out_bits: int, shifts=None
+) -> np.ndarray:
     """Integer-exact NumPy model of :func:`qgin_forward`."""
     from tests.golden import bitmm_np
 
-    h, hb = bitmm_np(qa, qx, 1, bit_width, out_bits), out_bits
+    n_layers = len(qws)
+    sh = list(shifts) if shifts is not None else [0] * (2 * n_layers - 1)
+    si = 0
+    h, hb = bitmm_np(qa, qx, 1, bit_width, out_bits, sh[si]), out_bits
+    si += 1
     for w in qws[:-1]:
-        h = bitmm_np(h, w, hb, bit_width, out_bits)
-        h = bitmm_np(qa, h, 1, out_bits, out_bits)
+        h = bitmm_np(h, w, hb, bit_width, out_bits, sh[si])
+        si += 1
+        h = bitmm_np(qa, h, 1, out_bits, out_bits, sh[si])
+        si += 1
         hb = out_bits
     return bitmm_np(h, qws[-1], hb, bit_width, None)

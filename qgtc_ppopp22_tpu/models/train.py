@@ -1,0 +1,388 @@
+"""Quantization-aware fp32 training for the quantized inference engine.
+
+The reference never trains: its benchmark weights are ``torch.ones``
+(``main_qgtc.py:100-102``) and its quantized layers' backward passes
+return ``None`` (``QGTC_conv.py:24-27``), so accuracy at a given bit
+width was never measurable. This module closes that gap: it trains a
+float32 *twin* of the quantized dataflow whose activation function is
+the quantizer's clamp (``clip(h, 0, 2^bits)`` — exactly what the fused
+requantize epilogue applies, ``kernel.h:347-351``), with weights
+projected into the quantizer's representable range after each step.
+The trained weights drop straight into :class:`QGTCEngine` /
+``pack_weights`` for 1/2/4/8-bit inference, giving a real
+accuracy-vs-bit-width frontier on the same graphs the throughput
+benchmarks use.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from qgtc_ppopp22_tpu.graph.batching import ClusterBatcher, batch_labels
+from qgtc_ppopp22_tpu.graph.datasets import GraphDataset
+from qgtc_ppopp22_tpu.models.qmodels import QModelConfig
+
+
+def _ste(exact: jnp.ndarray, smooth: jnp.ndarray) -> jnp.ndarray:
+    """Straight-through: forward value ``exact``, gradient of ``smooth``."""
+    return smooth + jax.lax.stop_gradient(exact - smooth)
+
+
+def _quantize_ste(x: jnp.ndarray, bit_width: int) -> jnp.ndarray:
+    """Input quantizer with STE (reference ``Quantize_val`` semantics,
+    including the level-``2^bits``-wraps-to-0 pack behavior)."""
+    ub = float(1 << bit_width)
+    clipped = jnp.where(x < 0.0, 1.0, jnp.where(x > ub, ub - 1.0, x))
+    r = jnp.round(clipped)
+    r = jnp.where(r == ub, 0.0, r)
+    return _ste(r, jnp.clip(x, 0.0, ub))
+
+
+def _requant_ste(acc: jnp.ndarray, bit_width: int, s: int) -> jnp.ndarray:
+    """Requantize with STE: forward is the EXACT integer epilogue
+    (floor-shift, clamp, 2^bits wrap — ``kernel.h:347-351`` + pack
+    wrap), gradient is the smooth ``clip(acc / 2^s, 0, 2^bits)``."""
+    ub = float(1 << bit_width)
+    scaled = acc / float(1 << s)
+    r = jnp.floor(scaled)
+    r = jnp.where(r > ub, ub - 1.0, jnp.where(r < 0.0, 1.0, r))
+    r = jnp.where(r == ub, 0.0, r)  # pack keeps low bits: 2^b wraps
+    return _ste(r, jnp.clip(scaled, 0.0, ub))
+
+
+def _weights_ste(ws, bit_width: int):
+    """Weight quantizer with STE (same semantics as the inputs')."""
+    return [_quantize_ste(w, bit_width) for w in ws]
+
+
+def float_twin_forward(
+    a: jnp.ndarray,
+    x: jnp.ndarray,
+    ws: Sequence[jnp.ndarray],
+    bit_width: int,
+    model: str = "gcn",
+    shifts: Optional[Sequence[int]] = None,
+    ste: bool = True,
+) -> jnp.ndarray:
+    """Trainable forward of the quantized dataflow.
+
+    With ``ste=True`` (default) the forward pass computes the *exact*
+    integer semantics of the deployed engine (weights and inputs
+    rounded to levels, accumulators floor-shifted/clamped/wrapped as
+    in the fused epilogue) while gradients flow through smooth
+    surrogates — so training accuracy IS deployed quantized accuracy.
+    ``ste=False`` gives the fully-smooth relaxation.
+    """
+    ub = float(1 << bit_width)
+    n_layers = len(ws)
+    sh = list(shifts) if shifts is not None else [0] * (2 * n_layers - 1)
+    si = [0]
+
+    def rq(hacc):
+        s = sh[si[0]]
+        si[0] += 1
+        if ste:
+            return _requant_ste(hacc, bit_width, s)
+        return jnp.clip(hacc / float(1 << s), 0.0, ub)
+
+    if ste:
+        ws = _weights_ste(ws, bit_width)
+        x = _quantize_ste(x, bit_width)
+    h = x
+    if model == "gcn":
+        for l, w in enumerate(ws):
+            h = rq(h @ w)
+            if l < n_layers - 1:
+                h = rq(a @ h)
+        return a @ h
+    h = rq(a @ x)
+    for w in ws[:-1]:
+        h = rq(h @ w)
+        h = rq(a @ h)
+    return h @ ws[-1]
+
+
+def calibrate_shifts(
+    dataset: GraphDataset,
+    batcher: ClusterBatcher,
+    qws: Sequence[np.ndarray],
+    bit_width: int,
+    model: str = "gcn",
+    percentile: float = 99.0,
+    max_batches: int = 2,
+) -> List[int]:
+    """Power-of-two requant scales from integer-forward statistics.
+
+    Runs the exact integer dataflow on a few batches; at each requant
+    point picks ``s = max(0, round(log2(p99(acc) / 2^bits)))`` so the
+    clamp range is actually exercised instead of saturated. Returns
+    the ``shifts`` list consumed by the quantized forwards.
+    """
+    ub = 1 << bit_width
+    n_layers = len(qws)
+    n_pts = 2 * n_layers - 1
+    shifts = [0] * n_pts
+    mask_lv = (1 << bit_width) - 1
+
+    def requant(acc, s):
+        r = acc >> s
+        r = np.where(r > ub, ub - 1, np.where(r < 0, 1, r))
+        return r & mask_lv
+
+    batches = batcher.batches[:max_batches]
+    for b in batches:
+        n = b.num_nodes
+        qa = dataset.graph.subgraph_dense(b.nodes).astype(np.int64)
+        from qgtc_ppopp22_tpu.graph.batching import quantize_np
+
+        qx = (
+            quantize_np(batcher.features[b.nodes], bit_width).astype(
+                np.int64
+            )
+            & mask_lv
+        )
+        si = 0
+
+        def point(acc):
+            nonlocal si
+            q = float(np.percentile(acc, percentile))
+            s = max(0, int(round(np.log2(max(q, 1) / ub)))) if q > ub else 0
+            shifts[si] = max(shifts[si], s)
+            out = requant(acc, shifts[si])
+            si += 1
+            return out
+
+        h = qx
+        if model == "gcn":
+            for l, w in enumerate(qws):
+                h = point(h @ (np.asarray(w, np.int64) & mask_lv))
+                if l < n_layers - 1:
+                    h = point(qa @ h)
+        else:
+            h = point(qa @ qx)
+            for w in qws[:-1]:
+                h = point(h @ (np.asarray(w, np.int64) & mask_lv))
+                h = point(qa @ h)
+        del n
+    return shifts
+
+
+def _dense_batches(dataset: GraphDataset, batcher: ClusterBatcher):
+    out = []
+    for b in batcher.batches:
+        n, pn = b.num_nodes, b.padded_nodes
+        a = np.zeros((pn, pn), np.float32)
+        a[:n, :n] = dataset.graph.subgraph_dense(b.nodes)
+        x = np.zeros((pn, batcher.feat_dim), np.float32)
+        x[:n] = batcher.features[b.nodes]
+        labels, mask = batch_labels(dataset, b)
+        out.append((a, x, labels, mask))
+    return out
+
+
+def train_float_twin(
+    dataset: GraphDataset,
+    batcher: ClusterBatcher,
+    cfg: QModelConfig,
+    model: str = "gcn",
+    epochs: int = 30,
+    lr: float = 5e-3,
+    seed: int = 0,
+    shifts: Optional[Sequence[int]] = None,
+    ste: bool = True,
+    init_ws: Optional[Sequence[jnp.ndarray]] = None,
+    verbose: bool = False,
+) -> Tuple[List[jnp.ndarray], float]:
+    """Train the fp32 twin; returns (weights, final train accuracy).
+
+    With ``ste=True`` the reported accuracy is the deployed quantized
+    accuracy (forward is integer-exact). ``init_ws`` warm-starts.
+    """
+    from qgtc_ppopp22_tpu.models.qmodels import init_weights
+
+    ws = (
+        [jnp.asarray(w) for w in init_ws]
+        if init_ws is not None
+        else init_weights(jax.random.PRNGKey(seed), cfg, scale=0.25)
+    )
+    ub = float(1 << cfg.bit_width)
+    opt = optax.adam(lr)
+    opt_state = opt.init(ws)
+    bit_width, mname = cfg.bit_width, model
+
+    shifts_t = tuple(shifts) if shifts is not None else None
+
+    @jax.jit
+    def step(ws, opt_state, a, x, labels, mask):
+        def loss_fn(ws):
+            logits = float_twin_forward(
+                a, x, ws, bit_width, mname, shifts_t, ste=ste
+            )
+            # Temperature-normalize for the loss only (argmax and the
+            # deployed engine are unaffected): integer-domain logits
+            # reach thousands and saturate softmax gradients.
+            tau = jnp.maximum(
+                jax.lax.stop_gradient(jnp.std(logits)), 1.0
+            )
+            logp = jax.nn.log_softmax(logits / tau, axis=-1)
+            nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+            return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
+
+        loss, grads = jax.value_and_grad(loss_fn)(ws)
+        updates, opt_state = opt.update(grads, opt_state)
+        ws = optax.apply_updates(ws, updates)
+        # Project to [0, 2^bits - 0.51]: a weight that rounds to the
+        # level 2^bits would WRAP TO 0 at pack time (kernel.h:226-229)
+        # -- catastrophic under STE rounding.
+        ws = [jnp.clip(w, 0.0, ub - 0.51) for w in ws]
+        return ws, opt_state, loss
+
+    @jax.jit
+    def acc_fn(ws, a, x, labels, mask):
+        logits = float_twin_forward(
+            a, x, ws, bit_width, mname, shifts_t, ste=ste
+        )
+        pred = jnp.argmax(logits, axis=-1)
+        return jnp.sum((pred == labels) * mask), jnp.sum(mask)
+
+    data = _dense_batches(dataset, batcher)
+    for ep in range(epochs):
+        total_loss = 0.0
+        for a, x, labels, mask in data:
+            ws, opt_state, loss = step(
+                ws, opt_state, a, x, jnp.asarray(labels),
+                jnp.asarray(mask),
+            )
+            total_loss += float(loss)
+        if verbose:
+            print(f"epoch {ep}: loss {total_loss / len(data):.4f}")
+
+    correct = total = 0.0
+    for a, x, labels, mask in data:
+        c, t = acc_fn(ws, a, x, jnp.asarray(labels), jnp.asarray(mask))
+        correct += float(c)
+        total += float(t)
+    return ws, correct / max(total, 1.0)
+
+
+def quantized_accuracy(
+    dataset: GraphDataset,
+    batcher: ClusterBatcher,
+    ws: Sequence[jnp.ndarray],
+    bit_width: int,
+    model: str = "gcn",
+    shifts: Optional[Sequence[int]] = None,
+) -> float:
+    """Accuracy of the real quantized engine with the given weights."""
+    from qgtc_ppopp22_tpu.models.qmodels import pack_weights
+    from qgtc_ppopp22_tpu.runtime import QGTCEngine
+
+    eng = QGTCEngine(
+        feat_dim=batcher.feat_dim,
+        num_classes=dataset.num_classes,
+        model=model,
+        bit_width=bit_width,
+        hidden=ws[0].shape[1] if len(ws) > 1 else 16,
+        num_layers=len(ws),
+        shifts=shifts,
+    )
+    eng.float_weights = list(ws)
+    eng.weights = pack_weights(ws, bit_width, fmt="digits")
+    return eng.evaluate(batcher, dataset.labels)
+
+
+def _spread_weights(ws, shifts, bit_width: int, model: str):
+    """Rescale each weight matrix by a power of two (compensated in
+    the requant shift that follows its multiply) so the representable
+    levels are exercised — e.g. 1-bit weights trained smoothly tend to
+    sit below the 0.5 rounding threshold and would all quantize to 0.
+    Neutral for the smooth model; argmax-neutral when the multiply
+    feeds the float output directly."""
+    ub = (1 << bit_width) - 0.51
+    ws2, sh2 = list(ws), list(shifts)
+    n = len(ws2)
+    for l, w in enumerate(ws2):
+        wmax = float(jnp.max(w)) + 1e-9
+        k = int(np.floor(np.log2(max(ub * 0.75 / wmax, 1.0))))
+        if k <= 0:
+            continue
+        if model == "gcn":
+            pt = 2 * l
+        else:  # gin: agg first; last weight feeds f32 logits directly
+            pt = 2 * l + 1 if l < n - 1 else None
+        ws2[l] = jnp.clip(w * float(2 ** k), 0.0, ub)
+        if pt is not None:
+            sh2[pt] += k
+    return ws2, sh2
+
+
+def qat_train(
+    dataset: GraphDataset,
+    batcher: ClusterBatcher,
+    cfg: QModelConfig,
+    model: str = "gcn",
+    smooth_epochs: int = 25,
+    ste_epochs: int = 20,
+    lr: float = 1e-2,
+    seed: int = 0,
+    verbose: bool = False,
+) -> Tuple[List[jnp.ndarray], List[int], float]:
+    """Full QAT recipe -> (weights, shifts, deployed accuracy).
+
+    1. smooth pretrain (continuous clamp surrogate),
+    2. calibrate power-of-two requant shifts on the quantized weights,
+    3. STE fine-tune (integer-exact forward),
+    4. recalibrate + short STE fine-tune if the shifts moved.
+    """
+    from qgtc_ppopp22_tpu.graph.batching import quantize_np
+
+    from qgtc_ppopp22_tpu.models.qmodels import init_weights
+
+    def q(ws):
+        return [quantize_np(np.asarray(w), cfg.bit_width) for w in ws]
+
+    # Shifts are calibrated BEFORE any training — an uncalibrated
+    # smooth phase saturates and learns nothing to warm-start from.
+    # (Init scale 0.25 empirically beats wider inits: large shifts
+    # calibrated against wide weights destroy first-layer signal.)
+    ws0 = init_weights(jax.random.PRNGKey(seed), cfg, scale=0.25)
+    # Adam's step size is absolute; the representable weight range is
+    # [0, 2^bits], so scale the lr with the level range or high-bit
+    # weights effectively never move.
+    lr = lr * max(1.0, (1 << cfg.bit_width) / 8.0)
+    shifts = calibrate_shifts(
+        dataset, batcher, q(ws0), cfg.bit_width, model
+    )
+    ws, _ = train_float_twin(
+        dataset, batcher, cfg, model, epochs=smooth_epochs, lr=lr,
+        seed=seed, shifts=shifts, ste=False, init_ws=ws0,
+        verbose=verbose,
+    )
+    # Spread weights across the representable levels (shift-
+    # compensated), recalibrate on the trained scale, and give the
+    # smooth phase one more round with honest shifts before STE
+    # hardening.
+    ws, shifts = _spread_weights(ws, shifts, cfg.bit_width, model)
+    ws, _ = train_float_twin(
+        dataset, batcher, cfg, model, epochs=smooth_epochs // 2, lr=lr,
+        seed=seed, shifts=shifts, ste=False, init_ws=ws, verbose=verbose,
+    )
+    ws, shifts = _spread_weights(ws, shifts, cfg.bit_width, model)
+    ws, acc = train_float_twin(
+        dataset, batcher, cfg, model, epochs=ste_epochs, lr=lr / 2,
+        seed=seed, shifts=shifts, ste=True, init_ws=ws, verbose=verbose,
+    )
+    shifts2 = calibrate_shifts(dataset, batcher, q(ws), cfg.bit_width, model)
+    if shifts2 != shifts:
+        ws, acc = train_float_twin(
+            dataset, batcher, cfg, model, epochs=ste_epochs // 2,
+            lr=lr / 4, seed=seed, shifts=shifts2, ste=True, init_ws=ws,
+            verbose=verbose,
+        )
+        shifts = shifts2
+    return ws, shifts, acc

@@ -116,7 +116,7 @@ def zero_tile_stats_digits(
     }
 
 
-def _make_kernel(nd_a, nd_b, out_bits, nk, tm, tk, tn, sparse):
+def _make_kernel(nd_a, nd_b, out_bits, nk, tm, tk, tn, sparse, shift=0):
     dot_dims = (((1,), (0,)), ((), ()))
 
     def kernel(kidx_ref, kcnt_ref, a_ref, b_ref, o_ref, acc_ref):
@@ -157,6 +157,9 @@ def _make_kernel(nd_a, nd_b, out_bits, nk, tm, tk, tn, sparse):
                 ub = 1 << out_bits
                 # Reference requantizer reduction (kernel.h:347-351):
                 # clamp >ub to ub-1, negatives to 1, keep low out_bits.
+                # Optional power-of-two pre-scale (see quantize.py).
+                if shift:
+                    acc = acc >> shift
                 r = jnp.where(acc > ub, ub - 1, jnp.where(acc < 0, 1, acc))
                 r = r & (ub - 1)
                 for d in range(num_digits(out_bits)):
@@ -175,6 +178,7 @@ def _digitmm(
     tile_map: Optional[TileMap],
     interpret: Optional[bool],
     tiles: Optional[tuple] = None,
+    shift: int = 0,
 ):
     M, Ka = a.shape
     Kb, N = b.shape
@@ -220,7 +224,8 @@ def _digitmm(
         kcnt = jnp.full((nm,), nk, jnp.int32)
 
     kernel = _make_kernel(
-        nd_a, nd_b, out_bits, nk, tm, tk, tn, sparse=tile_map is not None
+        nd_a, nd_b, out_bits, nk, tm, tk, tn,
+        sparse=tile_map is not None, shift=shift,
     )
 
     def a_map(i, j, t, kidx_ref, kcnt_ref):
@@ -284,15 +289,17 @@ def digitmm_to_digits(
     tile_map: Optional[TileMap] = None,
     interpret: Optional[bool] = None,
     tiles: Optional[tuple] = None,
+    shift: int = 0,
 ) -> DigitTensor:
     """Digit-domain GEMM, digit-domain output (``bitMM2Bit`` role).
 
-    ``C_levels = requantize(A_levels @ B_levels, out_bits)``, returned
-    as digit planes (requant + split fused in the kernel epilogue).
+    ``C_levels = requantize(A_levels @ B_levels >> shift, out_bits)``,
+    returned as digit planes (requant + split fused in the kernel
+    epilogue; ``shift=0`` is the exact reference semantics).
     ``tiles=(tm, tk, tn)`` overrides the tile heuristic (each must
     divide the corresponding padded extent).
     """
-    return _digitmm(a, b, out_bits, tile_map, interpret, tiles)
+    return _digitmm(a, b, out_bits, tile_map, interpret, tiles, shift)
 
 
 def digitmm_to_f32(

@@ -59,9 +59,12 @@ def _digit_dot(a_digits, b_digits):
     return acc
 
 
-def _requant_digits(acc, out_bits: int) -> List[jnp.ndarray]:
-    """Reference epilogue (kernel.h:347-351) -> base-16 digit list."""
+def _requant_digits(acc, out_bits: int, shift: int = 0) -> List[jnp.ndarray]:
+    """Reference epilogue (kernel.h:347-351) -> base-16 digit list.
+    ``shift``: optional power-of-two pre-scale (see ops/quantize.py)."""
     ub = 1 << out_bits
+    if shift:
+        acc = acc >> shift
     r = jnp.where(acc > ub, ub - 1, jnp.where(acc < 0, 1, acc))
     r = r & (ub - 1)
     out = []
@@ -80,10 +83,13 @@ def fused_model_epoch(
     out_bits: int,
     model: str = "gcn",
     interpret: Optional[bool] = None,
+    shifts: Optional[Sequence[int]] = None,
 ) -> jax.Array:
     """Run the full model over every stacked batch in ONE pallas call.
 
-    Returns float32 logits [B, pn, cls_padded].
+    Returns float32 logits [B, pn, cls_padded]. ``shifts``: optional
+    per-GEMM power-of-two requant scales, ordered as in
+    ``qgcn_forward``/``qgin_forward`` (None = reference semantics).
     """
     B, pn, pn2 = a_stack.shape
     _, nd_x, pnx, xp = x_stack.shape
@@ -97,6 +103,7 @@ def fused_model_epoch(
     nch = pn // chunk
     n_layers = len(ws)
     cp = ws[-1].digits.shape[2]
+    sh = list(shifts) if shifts is not None else [0] * (2 * n_layers - 1)
 
     def kernel(x_ref, *rest):
         ws_refs = rest[:n_layers]
@@ -115,7 +122,7 @@ def fused_model_epoch(
                 sem.at[slot],
             )
 
-        def agg(h_digits, final: bool):
+        def agg(h_digits, final: bool, shift: int = 0):
             """acc_rows = A @ H, streamed over A row-chunks.
 
             Double-buffered: chunk c+1's DMA is in flight while chunk
@@ -143,24 +150,28 @@ def fused_model_epoch(
                     acc_ref[c * chunk : (c + 1) * chunk, 0:ncols] = part
             if final:
                 return None
-            return _requant_digits(acc_ref[:, 0:ncols], out_bits)
+            return _requant_digits(acc_ref[:, 0:ncols], out_bits, shift)
 
-        def upd(h_digits, w_dg):
-            return _requant_digits(_digit_dot(h_digits, w_dg), out_bits)
+        def upd(h_digits, w_dg, shift=0):
+            return _requant_digits(
+                _digit_dot(h_digits, w_dg), out_bits, shift
+            )
 
         if model == "gcn":
-            h = upd(x_digits, w_digits[0])
+            si = 0
+            h = upd(x_digits, w_digits[0], sh[si]); si += 1
             for l in range(1, n_layers):
-                h = agg(h, final=False)
-                h = upd(h, w_digits[l])
+                h = agg(h, final=False, shift=sh[si]); si += 1
+                h = upd(h, w_digits[l], sh[si]); si += 1
             agg(h, final=True)
         else:  # gin: aggregate first, weight-multiply last
-            h = agg(x_digits, final=False)
-            h = upd(h, w_digits[0])
+            si = 0
+            h = agg(x_digits, final=False, shift=sh[si]); si += 1
+            h = upd(h, w_digits[0], sh[si]); si += 1
             for l in range(1, n_layers - 1):
-                h = agg(h, final=False)
-                h = upd(h, w_digits[l])
-            h = agg(h, final=False)
+                h = agg(h, final=False, shift=sh[si]); si += 1
+                h = upd(h, w_digits[l], sh[si]); si += 1
+            h = agg(h, final=False, shift=sh[si]); si += 1
             o_ref[0] = _digit_dot(h, w_digits[-1]).astype(jnp.float32)
 
     hid_cols = max(w.digits.shape[2] for w in ws[:-1]) if n_layers > 1 else xp

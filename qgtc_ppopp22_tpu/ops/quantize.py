@@ -43,7 +43,9 @@ def quantize(x: jnp.ndarray, bits: int) -> jnp.ndarray:
     return jnp.round(clipped).astype(jnp.int32)
 
 
-def requantize(acc: jnp.ndarray, out_bits: int) -> jnp.ndarray:
+def requantize(
+    acc: jnp.ndarray, out_bits: int, shift: int = 0
+) -> jnp.ndarray:
     """int32 GEMM accumulator -> int32 levels, reference epilogue semantics.
 
     Mirrors ``quantize(val, out_bit, 1<<out_bit, 0)`` at
@@ -51,11 +53,22 @@ def requantize(acc: jnp.ndarray, out_bits: int) -> jnp.ndarray:
     ``2^out_bits - 1``; a value exactly ``2^out_bits`` passes through
     (and wraps to 0 when packed to ``out_bits`` planes); negatives
     clamp to 1.
+
+    ``shift`` is an OPTIONAL extension beyond the reference: the
+    accumulator is right-shifted (floor-divided by ``2^shift``) before
+    clamping — still exact integer arithmetic. The reference's
+    unscaled requantizer saturates on any realistic neighbor sum
+    (accumulators are sums of ~degree terms but the clamp ceiling is
+    ``2^out_bits``), which is why its accuracy was never measurable;
+    a calibrated power-of-two scale makes low-bit accuracy real while
+    ``shift=0`` (default) preserves bit-exact reference semantics.
     """
     if not (1 <= out_bits <= 8):
         raise ValueError(f"out_bits must be in [1, 8], got {out_bits}")
     ub = 1 << out_bits
     acc = acc.astype(jnp.int32)
+    if shift:
+        acc = acc >> shift
     return jnp.where(acc > ub, ub - 1, jnp.where(acc < 0, 1, acc))
 
 

@@ -83,6 +83,7 @@ class QGTCEngine:
         fmt: str = "digits",
         seed: int = 0,
         interpret: Optional[bool] = None,
+        shifts: Optional[Sequence[int]] = None,
     ):
         if model not in ("gcn", "gin"):
             raise ValueError(f"unknown model {model!r}")
@@ -107,6 +108,8 @@ class QGTCEngine:
         )
         fwd = qgcn_forward if model == "gcn" else qgin_forward
         zerotile = zerotile_jump
+        self.shifts = tuple(shifts) if shifts is not None else None
+        shifts_t = self.shifts
 
         def step(bit_a: BitTensor, bit_x: BitTensor, ws):
             if fmt == "digits":
@@ -119,7 +122,7 @@ class QGTCEngine:
                 tm = build_tile_map_digits(a)
             return fwd(
                 a, x, ws, out_bits=bit_width, tile_map=tm,
-                interpret=interpret,
+                interpret=interpret, shifts=shifts_t,
             )
 
         self._step = jax.jit(step)
@@ -211,6 +214,7 @@ class QGTCEngine:
         """
         fmt, zerotile, bit_width = self.fmt, self.zerotile_jump, self.bit_width
         fwd = qgcn_forward if self.model == "gcn" else qgin_forward
+        shifts_t = self.shifts
 
         def one(planes_pair, ws):
             ap, xp = planes_pair
@@ -224,7 +228,8 @@ class QGTCEngine:
             tm = None
             if zerotile and fmt == "digits":
                 tm = build_tile_map_digits(a)
-            return fwd(a, x, ws, out_bits=bit_width, tile_map=tm)
+            return fwd(a, x, ws, out_bits=bit_width, tile_map=tm,
+                       shifts=shifts_t)
 
         def epoch(a_stack, x_stack, ws):
             def body(carry, pair):
@@ -303,9 +308,10 @@ class QGTCEngine:
             x_stack = jnp.stack(
                 [to_x_digits(jax.device_put(b.bit_X)) for b in bs]
             )
+            shifts_t = self.shifts
             fn = jax.jit(
                 lambda a_, x_, w_: fused_model_epoch(
-                    a_, x_, w_, bit_width, model=model
+                    a_, x_, w_, bit_width, model=model, shifts=shifts_t
                 )
             )
             _sync(fn(a_stack, x_stack, ws))  # compile + warm

@@ -27,17 +27,19 @@ def effective_levels(q, bits):
     return np.asarray(q, np.int64) & ((1 << bits) - 1)
 
 
-def requantize_np(acc, out_bits):
+def requantize_np(acc, out_bits, shift=0):
     ub = 1 << out_bits
     acc = np.asarray(acc, np.int64)
+    if shift:
+        acc = acc >> shift
     return np.where(acc > ub, ub - 1, np.where(acc < 0, 1, acc))
 
 
-def bitmm_np(qa, qb, a_bits, b_bits, out_bits=None):
+def bitmm_np(qa, qb, a_bits, b_bits, out_bits=None, shift=0):
     """Integer matmul of effective levels; requantized+wrapped if out_bits."""
     ea = effective_levels(qa, a_bits)
     eb = effective_levels(qb, b_bits)
     acc = ea @ eb
     if out_bits is None:
         return acc.astype(np.float32)
-    return effective_levels(requantize_np(acc, out_bits), out_bits)
+    return effective_levels(requantize_np(acc, out_bits, shift), out_bits)
