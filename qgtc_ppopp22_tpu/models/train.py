@@ -305,6 +305,11 @@ def _spread_weights(ws, shifts, bit_width: int, model: str):
     feeds the float output directly."""
     ub = (1 << bit_width) - 0.51
     ws2, sh2 = list(ws), list(shifts)
+    if bit_width > 2:
+        # At >=3 bits the level grid is fine enough that rounding-to-
+        # zero is not a failure mode, and inflating the shifts costs
+        # accuracy; spreading only pays at 1-2 bits.
+        return ws2, sh2
     n = len(ws2)
     for l, w in enumerate(ws2):
         wmax = float(jnp.max(w)) + 1e-9
