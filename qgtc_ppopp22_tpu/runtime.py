@@ -384,18 +384,37 @@ class BaselineEngine:
             jax.device_put(a), jax.device_put(x), tuple(self.weights)
         )
 
-    def run_epochs(self, batcher, dataset, n_epochs: int = 20) -> EpochStats:
-        for b in batcher.batches:  # warm all buckets
+    def run_epochs(
+        self,
+        batcher,
+        dataset,
+        n_epochs: int = 20,
+        resident: bool = True,
+        sync_every_epoch: bool = False,
+    ) -> EpochStats:
+        for b in batcher.batches:  # warm all buckets + fill dense cache
             _sync(self.forward_batch(b, dataset))
-        times = []
-        for _ in range(n_epochs):
-            t0 = time.perf_counter()
+        staged = None
+        if resident:
+            staged = []
+            for b in batcher.batches:
+                a, x = self._dense_cache[id(b)]
+                staged.append((jax.device_put(a), jax.device_put(x)))
+        ws = tuple(self.weights)
+
+        def one_epoch():
             out = None
-            for batch in batcher:
-                out = self.forward_batch(batch, dataset)
-            _sync(out)
-            times.append((time.perf_counter() - t0) * 1e3)
-        return EpochStats(epoch_ms=times, n_batches=len(batcher))
+            if resident:
+                for a_d, x_d in staged:
+                    out = self._step(a_d, x_d, ws)
+            else:
+                for batch in batcher:
+                    out = self.forward_batch(batch, dataset)
+            return out
+
+        return _timed_epochs(
+            one_epoch, n_epochs, len(batcher), sync_every_epoch
+        )
 
 
 def _timed_epochs(
