@@ -103,13 +103,16 @@ def main() -> int:
                 num_classes=ds.num_classes,
                 model="gin" if args.gin else "sage",
             )
-            st = beng.run_epochs(it, ds, n_epochs=args.n_epochs)
+            if args.mode == "step":
+                st = beng.run_epochs(it, ds, n_epochs=args.n_epochs)
+            else:
+                st = beng.run_epochs_fused(it, ds, n_epochs=args.n_epochs)
             row = dict(
                 dataset=name,
                 model=model,
                 engine="fp-baseline",
                 bits=32,
-                mode="step",
+                mode="step" if args.mode == "step" else "fused",
                 epoch_ms=round(st.avg_ms, 3),
             )
             rows.append(row)

@@ -43,7 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shrink factor for synthetic stand-in datasets")
     p.add_argument("--n-epochs", type=int, default=20)
     p.add_argument("--batch-size", type=int, default=20)
-    p.add_argument("--psize", type=int, default=1500)
+    p.add_argument("--psize", type=int, default=None,
+                   help="partition count (default: 1500, or a "
+                        "per-dataset override for very large graphs)")
     p.add_argument("--hidden", type=int, default=None)
     p.add_argument("--num-layers", type=int, default=3)
     p.add_argument("--bit_width", type=int, default=2)
@@ -93,9 +95,12 @@ def main(argv=None) -> int:
     )
 
     t0 = time.perf_counter()
+    from qgtc_ppopp22_tpu.graph.datasets import DEFAULT_PSIZE
+
+    psize = args.psize or DEFAULT_PSIZE.get(ds.name, 1500)
     batcher = ClusterBatcher(
         ds,
-        psize=args.psize,
+        psize=psize,
         batch_size=args.batch_size,
         bit_width=args.bit_width,
         seed=args.rnd_seed,
@@ -114,7 +119,7 @@ def main(argv=None) -> int:
         bit_width=args.bit_width,
         model="gin" if args.run_GIN else "gcn",
         engine="regular" if args.regular else "qgtc",
-        psize=args.psize,
+        psize=psize,
         batch_size=args.batch_size,
         n_epochs=args.n_epochs,
         zerotile_jump=args.zerotile_jump,

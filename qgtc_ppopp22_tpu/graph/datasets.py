@@ -55,6 +55,15 @@ class GraphDataset:
         return int(self.features.shape[1])
 
 
+# Per-dataset partition counts: the reference uses psize=1500
+# everywhere (``0_7a…py:8``), which is fine up to ~170k nodes; at
+# ogbn-products scale (2.4M nodes) a 20-partition batch would be a
+# 32k-node dense adjacency (1 GB) — infeasible for ANY dense-tile
+# engine (the reference's scripts list products but its artifact
+# tables stop at arxiv). Scale psize with the graph instead.
+DEFAULT_PSIZE = {"ogbn-products": 15000}
+
+
 # name -> (num_nodes, num_edges, feat_dim, num_classes)
 # Published statistics of the reference's benchmark datasets
 # (QGTC paper Table 2 / GNNAdvisor dataset table; reference harness

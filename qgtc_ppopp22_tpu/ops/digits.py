@@ -48,7 +48,13 @@ from qgtc_ppopp22_tpu.ops.bitpack import (
     unpack_plane_words,
 )
 
-__all__ = ["DigitTensor", "to_digit_tensor", "digit_pack", "digit_unpack"]
+__all__ = [
+    "DigitTensor",
+    "to_digit_tensor",
+    "digit_pack",
+    "digit_unpack",
+    "planes_stack_to_digits",
+]
 
 
 @jax.tree_util.register_dataclass
@@ -99,6 +105,27 @@ def to_digit_tensor(bt: BitTensor) -> DigitTensor:
             acc = acc | (ones[b] << jnp.uint32(b - lo))
         out.append(acc[:Mp, :Kp].astype(jnp.int8))
     return DigitTensor(digits=jnp.stack(out), shape=(M, K), bits=bt.bits)
+
+
+def planes_stack_to_digits(
+    planes: jnp.ndarray, shape, bits: int
+) -> jnp.ndarray:
+    """Batched packed planes [B, bits, Mw, Kp] -> int8 digits
+    [B, ndigits, Mp128, Kp128] in one vectorized pass (used to stage a
+    whole epoch's batches with a single device round-trip)."""
+    M, K = shape
+    Mp, Kp = round_up(M, LANE), round_up(K, LANE)
+    ones = unpack_plane_words(planes)  # [B, bits, Mw*32, Kp256]
+    nd = num_digits(bits)
+    out = []
+    for d in range(nd):
+        lo = d * DIGIT_BITS
+        hi = min(lo + DIGIT_BITS, bits)
+        acc = ones[:, lo]
+        for b in range(lo + 1, hi):
+            acc = acc | (ones[:, b] << jnp.uint32(b - lo))
+        out.append(acc[:, :Mp, :Kp].astype(jnp.int8))
+    return jnp.stack(out, axis=1)
 
 
 def digit_pack(q: jnp.ndarray, bits: int) -> DigitTensor:

@@ -97,6 +97,11 @@ def fused_model_epoch(
         raise ValueError(f"bad stacked shapes {a_stack.shape} {x_stack.shape}")
     if model not in ("gcn", "gin"):
         raise ValueError(model)
+    if pn > 3072:
+        raise ValueError(
+            f"pn={pn} exceeds the resident-adjacency VMEM budget "
+            "(~3072); use the per-GEMM engine modes for larger buckets"
+        )
     chunk = min(_CHUNK, pn)
     if pn % chunk:
         raise ValueError(f"pn={pn} not a multiple of chunk {chunk}")
@@ -107,40 +112,44 @@ def fused_model_epoch(
 
     def kernel(x_ref, *rest):
         ws_refs = rest[:n_layers]
-        a_hbm, o_ref, a_buf, acc_ref, sem = rest[n_layers:]
+        a_hbm, o_ref, a_vmem, acc_ref, sem = rest[n_layers:]
         b = pl.program_id(0)
+        seen_a = [False]  # becomes True once A is fully in VMEM
 
         x_digits = [x_ref[0, d] for d in range(nd_x)]
         w_digits = [
             [w_ref[d] for d in range(w_ref.shape[0])] for w_ref in ws_refs
         ]
 
-        def copy(c, slot):
+        def copy(c):
+            # chunk c of this batch's adjacency -> its slice of the
+            # full-size VMEM buffer (one DMA per chunk, all in flight)
             return pltpu.make_async_copy(
                 a_hbm.at[b, pl.ds(c * chunk, chunk), :],
-                a_buf.at[slot],
-                sem.at[slot],
+                a_vmem.at[pl.ds(c * chunk, chunk), :],
+                sem.at[c],
             )
 
         def agg(h_digits, final: bool, shift: int = 0):
-            """acc_rows = A @ H, streamed over A row-chunks.
+            """acc_rows = A @ H with A resident in VMEM.
 
-            Double-buffered: chunk c+1's DMA is in flight while chunk
-            c multiplies. Results land in ``acc_ref`` (or straight
-            into the f32 output block when ``final``).
+            The FIRST aggregation of a batch streams A from HBM chunk
+            by chunk (all DMAs in flight at once, each waited just
+            before its chunk's MXU pass); later aggregations reuse the
+            resident copy — A crosses HBM once per batch instead of
+            once per aggregation (3x less DMA; it is the dominant
+            traffic). Chunk loop statically unrolled so Mosaic lowers
+            each dot onto the MXU.
             """
             ncols = h_digits[0].shape[1]
-            copy(0, 0).start()
-
-            # Statically unrolled chunk loop (nch is small): keeps the
-            # buffer/slot indices constant so Mosaic lowers each chunk
-            # dot onto the MXU.
+            first = not seen_a[0]
+            if first:
+                for c in range(nch):
+                    copy(c).start()
             for c in range(nch):
-                slot = c % 2
-                if c + 1 < nch:
-                    copy(c + 1, (c + 1) % 2).start()
-                copy(c, slot).wait()
-                a_c = a_buf[slot]
+                if first:
+                    copy(c).wait()
+                a_c = a_vmem[c * chunk : (c + 1) * chunk, :]
                 part = _digit_dot([a_c], h_digits)
                 if final:
                     o_ref[0, c * chunk : (c + 1) * chunk, :] = part.astype(
@@ -148,6 +157,7 @@ def fused_model_epoch(
                     )
                 else:
                     acc_ref[c * chunk : (c + 1) * chunk, 0:ncols] = part
+            seen_a[0] = True
             if final:
                 return None
             return _requant_digits(acc_ref[:, 0:ncols], out_bits, shift)
@@ -200,9 +210,9 @@ def fused_model_epoch(
         ),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, pn), jnp.int8),  # A chunk double-buffer
+            pltpu.VMEM((pn, pn), jnp.int8),  # resident adjacency
             pltpu.VMEM((pn, hid_cols), jnp.int32),  # aggregation accumulator
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((nch,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

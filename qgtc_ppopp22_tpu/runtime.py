@@ -287,14 +287,7 @@ class QGTCEngine:
 
         ws = tuple(self.weights)
         model, bit_width = self.model, self.bit_width
-
-        @jax.jit
-        def to_a_levels(bit_a: BitTensor):
-            return to_digit_tensor(bit_a).digits[0]
-
-        @jax.jit
-        def to_x_digits(bit_x: BitTensor):
-            return to_digit_tensor(bit_x).digits
+        from qgtc_ppopp22_tpu.ops.digits import planes_stack_to_digits
 
         groups: dict = {}
         for b in batcher.batches:
@@ -302,12 +295,23 @@ class QGTCEngine:
             groups.setdefault(key, []).append(b)
         staged = []
         for key, bs in groups.items():
-            a_stack = jnp.stack(
-                [to_a_levels(jax.device_put(b.bit_A)) for b in bs]
+            # One transfer + one jitted conversion per shape bucket
+            # (per-batch staging costs a dispatch round-trip each).
+            a_planes = jax.device_put(
+                np.stack([np.asarray(b.bit_A.planes) for b in bs])
             )
-            x_stack = jnp.stack(
-                [to_x_digits(jax.device_put(b.bit_X)) for b in bs]
+            x_planes = jax.device_put(
+                np.stack([np.asarray(b.bit_X.planes) for b in bs])
             )
+            pn_, xshape = key[0], bs[0].bit_X.shape
+            a_stack = jax.jit(
+                lambda p: planes_stack_to_digits(p, (pn_, pn_), 1)[:, 0]
+            )(a_planes)
+            x_stack = jax.jit(
+                lambda p: planes_stack_to_digits(
+                    p, xshape, self.bit_width
+                )
+            )(x_planes)
             shifts_t = self.shifts
             fn = jax.jit(
                 lambda a_, x_, w_: fused_model_epoch(
@@ -360,6 +364,7 @@ class BaselineEngine:
         dims = [feat_dim] + [hidden] * (num_layers - 1) + [num_classes]
         self.weights = init_mlp_weights(jax.random.PRNGKey(seed), dims)
         fwd = sage_forward if model == "sage" else gin_forward
+        self._fwd = fwd
 
         def step(a_dense, x, ws):
             return fwd(a_dense, x, ws)
@@ -415,6 +420,65 @@ class BaselineEngine:
         return _timed_epochs(
             one_epoch, n_epochs, len(batcher), sync_every_epoch
         )
+
+    def run_epochs_fused(
+        self,
+        batcher,
+        dataset,
+        n_epochs: int = 20,
+        sync_every_epoch: bool = False,
+    ) -> EpochStats:
+        """Scan-fused baseline epochs (one dispatch per epoch)."""
+        return _baseline_fused_epochs(
+            self, batcher, dataset, n_epochs, sync_every_epoch
+        )
+
+
+def _baseline_fused_epochs(
+    engine: "BaselineEngine",
+    batcher,
+    dataset,
+    n_epochs: int,
+    sync_every_epoch: bool,
+) -> EpochStats:
+    """Scan-fused fp32 baseline epochs (dispatch-free, for an honest
+    kernel-level comparison against the quantized engine's fused
+    modes). Dense adjacencies are staged uint8 and cast in-graph."""
+    for b in batcher.batches:
+        _sync(engine.forward_batch(b, dataset))
+    groups: dict = {}
+    for b in batcher.batches:
+        a, x = engine._dense_cache[id(b)]
+        groups.setdefault(a.shape, []).append((a, x))
+    ws = tuple(engine.weights)
+    fwd = engine._fwd
+
+    staged = []
+    for shape, items in groups.items():
+        a_stack = jax.device_put(np.stack([a for a, _ in items]))
+        x_stack = jax.device_put(np.stack([x for _, x in items]))
+
+        @jax.jit
+        def epoch(a_s, x_s, ws_):
+            def body(carry, pair):
+                a, x = pair
+                return carry, fwd(a.astype(jnp.bfloat16), x, ws_)
+
+            _, outs = jax.lax.scan(body, 0, (a_s, x_s))
+            return outs
+
+        _sync(epoch(a_stack, x_stack, ws))
+        staged.append((epoch, a_stack, x_stack))
+
+    def one_epoch():
+        out = None
+        for fn, a_s, x_s in staged:
+            out = fn(a_s, x_s, ws)
+        return out
+
+    return _timed_epochs(
+        one_epoch, n_epochs, len(batcher), sync_every_epoch
+    )
 
 
 def _timed_epochs(

@@ -118,8 +118,10 @@ def test_baseline_engine(small):
     eng = BaselineEngine(
         feat_dim=it.feat_dim, num_classes=ds.num_classes, model="sage"
     )
-    st = eng.run_epochs(it, ds, n_epochs=2)
+    st = eng.run_epochs(it, ds, n_epochs=2, sync_every_epoch=True)
     assert len(st.epoch_ms) == 2
+    st = eng.run_epochs(it, ds, n_epochs=2)
+    assert len(st.epoch_ms) == 1 and st.avg_ms > 0
 
 
 def test_cli_main(small, tmp_path, capsys):
