@@ -55,6 +55,55 @@ def _wrap_digits(arr: jax.Array, shape, bits: int) -> DigitTensor:
     return DigitTensor(digits=arr, shape=shape, bits=bits)
 
 
+def sp_gin_forward(
+    mesh: Mesh,
+    a: DigitTensor,
+    x: DigitTensor,
+    ws: Sequence[DigitTensor],
+    out_bits: int,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Row-sharded QGIN forward (aggregate-then-update dataflow)."""
+    n_sp = mesh.shape["sp"]
+    nd_a, mp, kp = a.digits.shape
+    assert mp % (n_sp * 128) == 0, (mp, n_sp)
+    a_bits, x_bits = a.bits, x.bits
+    x_shape, a_shape = x.shape, a.shape
+    w_meta = [(w.shape, w.bits) for w in ws]
+
+    def body(a_d, x_d, *w_ds):
+        rows = a_d.shape[1]
+        a_loc = _wrap_digits(a_d, (rows, a_shape[1]), a_bits)
+        h = _wrap_digits(x_d, (rows, x_shape[1]), x_bits)
+        ws_loc = [
+            _wrap_digits(w_d, meta[0], meta[1])
+            for w_d, meta in zip(w_ds, w_meta)
+        ]
+
+        def agg(h_, ob):
+            full = jax.lax.all_gather(h_.digits, "sp", axis=1, tiled=True)
+            h_full = _wrap_digits(full, (a_shape[1], h_.shape[1]), h_.bits)
+            return digitmm_to_digits(a_loc, h_full, ob, interpret=interpret)
+
+        h = agg(h, out_bits)
+        for w in ws_loc[:-1]:
+            h = _mm_to_bits(h, w, out_bits, interpret=interpret)
+            h = agg(h, out_bits)
+        return digitmm_to_f32(h, ws_loc[-1], interpret=interpret)
+
+    spec_row = P(None, "sp", None)
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec_row, spec_row) + tuple(P() for _ in ws),
+        out_specs=P("sp", None),
+        check_vma=False,
+    )
+    return fn(a.digits, x.digits, *[w.digits for w in ws])[
+        : a.shape[0], : ws[-1].shape[1]
+    ]
+
+
 def sp_gcn_forward(
     mesh: Mesh,
     a: DigitTensor,

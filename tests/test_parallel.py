@@ -14,7 +14,7 @@ CODE = r"""
 import numpy as np, jax, jax.numpy as jnp
 from qgtc_ppopp22_tpu.ops.digits import digit_pack, digit_unpack
 from qgtc_ppopp22_tpu.models.qmodels import qgcn_forward
-from qgtc_ppopp22_tpu.parallel import make_mesh, sp_gcn_forward, dp_sp_epoch_step, shard_batches
+from qgtc_ppopp22_tpu.parallel import make_mesh, sp_gcn_forward, sp_gin_forward, dp_sp_epoch_step, shard_batches
 
 rng = np.random.default_rng(0)
 bits, n, d, hid, cls = 2, 1024, 128, 128, 128
@@ -26,7 +26,9 @@ a = digit_pack(jnp.asarray(qa), 1)
 x = digit_pack(jnp.asarray(qx), bits)
 ws = [digit_pack(jnp.asarray(w), bits) for w in qws]
 
+from qgtc_ppopp22_tpu.models.qmodels import qgin_forward
 ref = np.asarray(qgcn_forward(a, x, ws, out_bits=bits))
+ref_gin = np.asarray(qgin_forward(a, x, ws, out_bits=bits))
 
 mesh = make_mesh(dp=1, sp=4)
 with mesh:
@@ -35,6 +37,13 @@ with mesh:
     )(a, x))
 assert np.array_equal(got, ref[:n, :cls]), "sp forward mismatch"
 print("SP-OK")
+
+with mesh:
+    got_gin = np.asarray(jax.jit(
+        lambda a_, x_: sp_gin_forward(mesh, a_, x_, ws, bits)
+    )(a, x))
+assert np.array_equal(got_gin, ref_gin[:n, :cls]), "sp gin mismatch"
+print("SP-GIN-OK")
 
 mesh2 = make_mesh(dp=2, sp=4)
 B = 4
@@ -56,4 +65,5 @@ print("DP-SP-OK")
 def test_sharded_forward_matches_single_device():
     out = run_on_cpu_mesh(CODE, n_devices=8, timeout=900)
     assert "SP-OK" in out
+    assert "SP-GIN-OK" in out
     assert "DP-SP-OK" in out
