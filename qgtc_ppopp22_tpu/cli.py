@@ -72,6 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rnd_seed", type=int, default=3)
     p.add_argument("--eval-accuracy", action="store_true")
     p.add_argument("--json-out", type=str, default=None)
+    p.add_argument("--weights", type=str, default=None,
+                   help="load a QAT checkpoint (models/train.py "
+                        "save_checkpoint) instead of random weights")
     p.add_argument("--profile-dir", type=str, default=None,
                    help="capture a jax.profiler trace of the timed "
                         "epochs into this directory")
@@ -138,6 +141,11 @@ def main(argv=None) -> int:
         )
         stats = eng.run_epochs(batcher, ds, n_epochs=args.n_epochs)
     else:
+        shifts = None
+        if args.weights:
+            from qgtc_ppopp22_tpu.models.train import load_checkpoint
+
+            ck_ws, shifts, ck_cfg, ck_model = load_checkpoint(args.weights)
         eng = QGTCEngine(
             feat_dim=batcher.feat_dim,
             num_classes=ds.num_classes,
@@ -148,7 +156,16 @@ def main(argv=None) -> int:
             zerotile_jump=args.zerotile_jump,
             fmt=args.fmt,
             seed=args.rnd_seed,
+            shifts=shifts,
         )
+        if args.weights:
+            from qgtc_ppopp22_tpu.models.qmodels import pack_weights
+
+            eng.float_weights = list(ck_ws)
+            eng.weights = pack_weights(
+                ck_ws, args.bit_width,
+                fmt="digits" if args.fmt == "digits" else "bits",
+            )
         t0 = time.perf_counter()
         eng.warmup(batcher)
         print(f"[t] warmup/compile: {time.perf_counter()-t0:.1f}s")

@@ -391,3 +391,49 @@ def qat_train(
         )
         shifts = shifts2
     return ws, shifts, acc
+
+
+def save_checkpoint(
+    path: str,
+    ws: Sequence[jnp.ndarray],
+    shifts: Sequence[int],
+    cfg: QModelConfig,
+    model: str = "gcn",
+) -> None:
+    """Persist trained float weights + requant shifts + config (npz).
+
+    The reference has no model persistence at all (inference-only,
+    ones-weights); this closes the train->deploy loop.
+    """
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(
+        path,
+        n_weights=len(ws),
+        shifts=np.asarray(shifts, np.int64),
+        model=model,
+        bit_width=cfg.bit_width,
+        in_dim=cfg.in_dim,
+        hidden=cfg.hidden,
+        out_dim=cfg.out_dim,
+        num_layers=cfg.num_layers,
+        **{f"w{i}": np.asarray(w) for i, w in enumerate(ws)},
+    )
+
+
+def load_checkpoint(path: str):
+    """-> (ws, shifts, cfg, model) from :func:`save_checkpoint`."""
+    with np.load(path, allow_pickle=False) as z:
+        n = int(z["n_weights"])
+        ws = [z[f"w{i}"] for i in range(n)]
+        shifts = [int(x) for x in z["shifts"]]
+        cfg = QModelConfig(
+            in_dim=int(z["in_dim"]),
+            hidden=int(z["hidden"]),
+            out_dim=int(z["out_dim"]),
+            bit_width=int(z["bit_width"]),
+            num_layers=int(z["num_layers"]),
+        )
+        model = str(z["model"])
+    return ws, shifts, cfg, model

@@ -94,3 +94,19 @@ def test_qat_learns_above_chance(ds_it):
             q_acc = quantized_accuracy(ds, it, ws, 2, shifts=sh)
             assert abs(q_acc - acc) < 1e-9
     assert best > 0.65, best  # chance = 0.5
+
+def test_checkpoint_roundtrip(tmp_path, ds_it):
+    from qgtc_ppopp22_tpu.models.train import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    ds, it = ds_it
+    cfg = QModelConfig(it.feat_dim, 16, ds.num_classes, bit_width=2)
+    ws = init_weights(jax.random.PRNGKey(11), cfg)
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, ws, [1, 2, 1, 2, 1], cfg, model="gcn")
+    ws2, sh2, cfg2, model2 = load_checkpoint(path)
+    assert sh2 == [1, 2, 1, 2, 1] and cfg2 == cfg and model2 == "gcn"
+    for a, b in zip(ws, ws2):
+        np.testing.assert_array_equal(np.asarray(a), b)
