@@ -256,15 +256,16 @@ class QGTCEngine:
             a_d, x_d = jax.device_put(a_stack), jax.device_put(x_stack)
             _sync(fn(a_d, x_d, ws))  # compile + warm
             staged.append((fn, a_d, x_d))
-        times = []
-        for _ in range(n_epochs):
-            t0 = time.perf_counter()
+
+        def one_epoch():
             out = None
             for fn, a_d, x_d in staged:
                 out = fn(a_d, x_d, ws)
-            _sync(out)
-            times.append((time.perf_counter() - t0) * 1e3)
-        return EpochStats(epoch_ms=times, n_batches=len(batcher))
+            return out
+
+        return _timed_epochs(
+            one_epoch, n_epochs, len(batcher), sync_every_epoch
+        )
 
     # -- mega-kernel epoch: whole model chain in one pallas call --------
 
