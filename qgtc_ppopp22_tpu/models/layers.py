@@ -24,7 +24,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Union
 
-import jax
 import jax.numpy as jnp
 
 from qgtc_ppopp22_tpu.models.qmodels import _mm_to_bits, _mm_to_f32

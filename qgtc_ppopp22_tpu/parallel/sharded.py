@@ -26,7 +26,6 @@ single-chip path; collectives are XLA's (``all_gather`` over ICI).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -34,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from qgtc_ppopp22_tpu.models.qmodels import _mm_to_bits, _mm_to_f32
+from qgtc_ppopp22_tpu.models.qmodels import _mm_to_bits
 from qgtc_ppopp22_tpu.ops.digits import DigitTensor
 from qgtc_ppopp22_tpu.ops.digitmm import digitmm_to_digits, digitmm_to_f32
 
