@@ -3,6 +3,7 @@ from qgtc_ppopp22_tpu.parallel.sharded import (
     make_mesh,
     shard_batches,
     sp_gcn_forward,
+    sp_gcn_forward_ring,
     sp_gin_forward,
 )
 from qgtc_ppopp22_tpu.parallel.multihost import (

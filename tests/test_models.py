@@ -177,3 +177,35 @@ def test_layer_api_composes_to_model(rng):
     got = np.asarray(glayers[-1](da, h, final=True))
     want = qgin_golden(a, qx, qws, bits, bits)
     np.testing.assert_array_equal(got, want.astype(np.float32))
+
+
+def test_sparse_full_graph_matches_golden(rng):
+    """Sparse CSR engine == dense golden on the full graph, both models."""
+    from qgtc_ppopp22_tpu.graph import synthesize
+    from qgtc_ppopp22_tpu.models.sparse import sparse_q_forward
+
+    bits = 2
+    ds = synthesize("Proteins", scale=0.02, seed=11)
+    g = ds.graph
+    n = g.num_nodes
+    qx = quantize_np(ds.features, bits) & 0b11
+    cfg = QModelConfig(ds.feat_dim, 16, ds.num_classes, bit_width=bits)
+    ws = init_weights(jax.random.PRNGKey(13), cfg)
+    qws = [quantize_np(np.asarray(w), bits) for w in ws]
+
+    dense_a = g.subgraph_dense(np.arange(n)).astype(np.int32)
+    shifts = [1, 2, 1, 2, 1]
+    for model, golden in (("gcn", qgcn_golden), ("gin", qgin_golden)):
+        got = np.asarray(
+            sparse_q_forward(
+                jnp.asarray(g.indptr),
+                jnp.asarray(g.indices),
+                jnp.asarray(qx),
+                [jnp.asarray(q) for q in qws],
+                out_bits=bits,
+                model=model,
+                shifts=shifts,
+            )
+        )
+        want = golden(dense_a, qx, qws, bits, bits, shifts=shifts)
+        np.testing.assert_array_equal(got, want.astype(np.float32))

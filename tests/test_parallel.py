@@ -14,7 +14,7 @@ CODE = r"""
 import numpy as np, jax, jax.numpy as jnp
 from qgtc_ppopp22_tpu.ops.digits import digit_pack, digit_unpack
 from qgtc_ppopp22_tpu.models.qmodels import qgcn_forward
-from qgtc_ppopp22_tpu.parallel import make_mesh, sp_gcn_forward, sp_gin_forward, dp_sp_epoch_step, shard_batches
+from qgtc_ppopp22_tpu.parallel import make_mesh, sp_gcn_forward, sp_gcn_forward_ring, sp_gin_forward, dp_sp_epoch_step, shard_batches
 
 rng = np.random.default_rng(0)
 bits, n, d, hid, cls = 2, 1024, 128, 128, 128
@@ -45,6 +45,13 @@ with mesh:
 assert np.array_equal(got_gin, ref_gin[:n, :cls]), "sp gin mismatch"
 print("SP-GIN-OK")
 
+with mesh:
+    got_ring = np.asarray(jax.jit(
+        lambda a_, x_: sp_gcn_forward_ring(mesh, a_, x_, ws, bits)
+    )(a, x))
+assert np.array_equal(got_ring, ref[:n, :cls]), "ring forward mismatch"
+print("RING-OK")
+
 mesh2 = make_mesh(dp=2, sp=4)
 B = 4
 a_stack = np.stack([np.asarray(a.digits)] * B)
@@ -66,4 +73,5 @@ def test_sharded_forward_matches_single_device():
     out = run_on_cpu_mesh(CODE, n_devices=8, timeout=900)
     assert "SP-OK" in out
     assert "SP-GIN-OK" in out
+    assert "RING-OK" in out
     assert "DP-SP-OK" in out
