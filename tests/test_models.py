@@ -209,3 +209,33 @@ def test_sparse_full_graph_matches_golden(rng):
         )
         want = golden(dense_a, qx, qws, bits, bits, shifts=shifts)
         np.testing.assert_array_equal(got, want.astype(np.float32))
+
+
+def test_mega_kernel_8bit_and_shifts(rng):
+    """fused_model_epoch: multi-digit operands + requant shifts."""
+    from qgtc_ppopp22_tpu.ops.digits import digit_pack
+    from qgtc_ppopp22_tpu.ops.fused_model import fused_model_epoch
+
+    pn, xp = 512, 128
+    for bits, shifts in ((8, None), (2, [1, 2, 1, 2, 1]), (8, [2, 3, 4, 2, 3])):
+        qa = (rng.random((2, pn, pn)) < 0.02).astype(np.int8)
+        qx = rng.integers(0, 1 << bits, (2, pn, xp)).astype(np.int32)
+        qws = [
+            rng.integers(0, 1 << bits, s).astype(np.int32)
+            for s in [(xp, 128), (128, 128), (128, 128)]
+        ]
+        ws = [digit_pack(jnp.asarray(w), bits) for w in qws]
+        x_stack = np.stack(
+            [np.asarray(digit_pack(jnp.asarray(q), bits).digits) for q in qx]
+        )
+        out = fused_model_epoch(
+            jnp.asarray(qa), jnp.asarray(x_stack), ws, bits,
+            model="gcn", shifts=shifts,
+        )
+        for b in range(2):
+            want = qgcn_golden(
+                qa[b].astype(np.int32), qx[b], qws, bits, bits,
+                shifts=shifts,
+            )
+            got = np.asarray(out[b])[:, : want.shape[1]]
+            np.testing.assert_array_equal(got, want.astype(np.float32))
