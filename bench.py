@@ -56,11 +56,19 @@ def main() -> int:
         zerotile_jump=zerotile,
         seed=3,
     )
-    if mode == "mega":
-        stats = eng.run_epochs_mega(batcher, n_epochs=n_epochs)
-    elif mode == "fused":
-        stats = eng.run_epochs_fused(batcher, n_epochs=n_epochs)
-    else:
+    try:
+        if mode == "mega":
+            stats = eng.run_epochs_mega(batcher, n_epochs=n_epochs)
+        elif mode == "fused":
+            stats = eng.run_epochs_fused(batcher, n_epochs=n_epochs)
+        else:
+            stats = eng.run_epochs(
+                batcher, n_epochs=n_epochs, resident=True
+            )
+    except Exception as e:  # never leave the driver without a number
+        print(f"mode {mode!r} failed ({type(e).__name__}); "
+              "falling back to stepwise", file=sys.stderr)
+        mode = "step-fallback"
         stats = eng.run_epochs(batcher, n_epochs=n_epochs, resident=True)
     value = stats.avg_ms
     print(
