@@ -31,6 +31,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import numpy as np
 
+import jax
+
 from qgtc_ppopp22_tpu.graph import ClusterBatcher, load_dataset
 from qgtc_ppopp22_tpu.runtime import BaselineEngine, QGTCEngine
 
@@ -71,6 +73,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cache-dir", type=str, default="./datasets")
     p.add_argument("--rnd_seed", type=int, default=3)
     p.add_argument("--eval-accuracy", action="store_true")
+    p.add_argument("--timing-split", action="store_true",
+                   help="report transfer vs compute split (reference "
+                        "cluster_gcn.py per-phase timers)")
     p.add_argument("--json-out", type=str, default=None)
     p.add_argument("--weights", type=str, default=None,
                    help="load a QAT checkpoint (models/train.py "
@@ -171,8 +176,6 @@ def main(argv=None) -> int:
         print(f"[t] warmup/compile: {time.perf_counter()-t0:.1f}s")
         prof = None
         if args.profile_dir:
-            import jax
-
             prof = jax.profiler.trace(args.profile_dir)
             prof.__enter__()
         if args.mode == "mega":
@@ -192,6 +195,43 @@ def main(argv=None) -> int:
             )
         if args.profile_dir and prof is not None:
             prof.__exit__(None, None, None)
+        if args.zerotile_jump:
+            # Aggregate tile counters (reference print_counter role,
+            # kernel.h:17-28 / parse_counter.py)
+            from qgtc_ppopp22_tpu.ops.digitmm import (
+                zero_tile_stats_digits,
+            )
+            from qgtc_ppopp22_tpu.ops.digits import to_digit_tensor
+
+            total = processed = 0
+            for b in batcher.batches:
+                stt = zero_tile_stats_digits(
+                    to_digit_tensor(jax.device_put(b.bit_A))
+                )
+                total += stt["total"]
+                processed += stt["processed"]
+            record["tiles_total"] = total
+            record["tiles_processed"] = processed
+            print(
+                f"zero-tile: processed {processed}/{total} "
+                f"(jumped {1 - processed / max(total, 1):.1%})"
+            )
+        if args.timing_split:
+            # transfer+compute (reference boundary) vs compute-only
+            both = eng.run_epochs(
+                batcher, n_epochs=max(args.n_epochs // 2, 2),
+                resident=False,
+            ).avg_ms
+            comp = eng.run_epochs(
+                batcher, n_epochs=max(args.n_epochs // 2, 2),
+                resident=True,
+            ).avg_ms
+            record["transfer_ms"] = round(max(both - comp, 0.0), 3)
+            record["compute_ms"] = round(comp, 3)
+            print(
+                f"timing split: transfer {record['transfer_ms']:.2f} ms, "
+                f"compute {record['compute_ms']:.2f} ms per epoch"
+            )
         if args.eval_accuracy:
             acc = eng.evaluate(batcher, ds.labels)
             record["accuracy"] = acc
