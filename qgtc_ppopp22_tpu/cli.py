@@ -147,17 +147,31 @@ def main(argv=None) -> int:
         stats = eng.run_epochs(batcher, ds, n_epochs=args.n_epochs)
     else:
         shifts = None
+        model_name = "gin" if args.run_GIN else "gcn"
+        bit_width, hidden, num_layers = (
+            args.bit_width, args.hidden, args.num_layers
+        )
         if args.weights:
+            # The checkpoint is authoritative for the model geometry
+            # and quantization config it was trained with.
             from qgtc_ppopp22_tpu.models.train import load_checkpoint
 
             ck_ws, shifts, ck_cfg, ck_model = load_checkpoint(args.weights)
+            model_name = ck_model
+            bit_width = ck_cfg.bit_width
+            hidden = ck_cfg.hidden
+            num_layers = ck_cfg.num_layers
+            print(
+                f"loaded checkpoint: {ck_model}, {bit_width}-bit, "
+                f"hidden={hidden}, layers={num_layers}, shifts={shifts}"
+            )
         eng = QGTCEngine(
             feat_dim=batcher.feat_dim,
             num_classes=ds.num_classes,
-            model="gin" if args.run_GIN else "gcn",
-            bit_width=args.bit_width,
-            hidden=args.hidden,
-            num_layers=args.num_layers,
+            model=model_name,
+            bit_width=bit_width,
+            hidden=hidden,
+            num_layers=num_layers,
             zerotile_jump=args.zerotile_jump,
             fmt=args.fmt,
             seed=args.rnd_seed,
@@ -168,12 +182,13 @@ def main(argv=None) -> int:
 
             eng.float_weights = list(ck_ws)
             eng.weights = pack_weights(
-                ck_ws, args.bit_width,
+                ck_ws, bit_width,
                 fmt="digits" if args.fmt == "digits" else "bits",
             )
-        t0 = time.perf_counter()
-        eng.warmup(batcher)
-        print(f"[t] warmup/compile: {time.perf_counter()-t0:.1f}s")
+        if args.mode == "step":
+            t0 = time.perf_counter()
+            eng.warmup(batcher)
+            print(f"[t] warmup/compile: {time.perf_counter()-t0:.1f}s")
         prof = None
         if args.profile_dir:
             prof = jax.profiler.trace(args.profile_dir)

@@ -118,7 +118,13 @@ def get_partition_list(
             method = "bfs"
 
     if cache_dir and cache_name:
-        fn = os.path.join(cache_dir, f"{cache_name}_{psize}_{method}.npz")
+        # Key includes graph size so a rescaled/reseeded synthetic
+        # graph never silently reuses another graph's partitions.
+        fn = os.path.join(
+            cache_dir,
+            f"{cache_name}_n{g.num_nodes}_e{g.num_edges}"
+            f"_{psize}_{method}.npz",
+        )
         if os.path.exists(fn):
             with np.load(fn, allow_pickle=False) as z:
                 return [z[f"p{i}"] for i in range(int(z["psize"]))]

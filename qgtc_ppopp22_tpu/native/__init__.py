@@ -30,7 +30,7 @@ class NativeUnavailable(RuntimeError):
 def _build() -> None:
     src = os.path.join(_DIR, "qgtc_native.cpp")
     cmd = [
-        "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+        "g++", "-O3", "-fopenmp", "-shared", "-fPIC",
         "-std=c++17", src, "-o", _SO,
     ]
     try:

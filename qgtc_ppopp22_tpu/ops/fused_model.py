@@ -102,9 +102,13 @@ def fused_model_epoch(
             f"pn={pn} exceeds the resident-adjacency VMEM budget "
             "(~3072); use the per-GEMM engine modes for larger buckets"
         )
-    chunk = min(_CHUNK, pn)
-    if pn % chunk:
-        raise ValueError(f"pn={pn} not a multiple of chunk {chunk}")
+    chunk = next(
+        (c for c in (512, 256, 128) if c <= pn and pn % c == 0), None
+    )
+    if chunk is None:
+        raise ValueError(
+            f"pn={pn} has no chunk divisor in (512, 256, 128)"
+        )
     nch = pn // chunk
     n_layers = len(ws)
     cp = ws[-1].digits.shape[2]
@@ -177,11 +181,12 @@ def fused_model_epoch(
         else:  # gin: aggregate first, weight-multiply last
             si = 0
             h = agg(x_digits, final=False, shift=sh[si]); si += 1
-            h = upd(h, w_digits[0], sh[si]); si += 1
-            for l in range(1, n_layers - 1):
-                h = agg(h, final=False, shift=sh[si]); si += 1
+            for l in range(n_layers - 1):
                 h = upd(h, w_digits[l], sh[si]); si += 1
-            h = agg(h, final=False, shift=sh[si]); si += 1
+                if l < n_layers - 2:
+                    h = agg(h, final=False, shift=sh[si]); si += 1
+            if n_layers > 1:
+                h = agg(h, final=False, shift=sh[si]); si += 1
             o_ref[0] = _digit_dot(h, w_digits[-1]).astype(jnp.float32)
 
     hid_cols = max(w.digits.shape[2] for w in ws[:-1]) if n_layers > 1 else xp

@@ -123,7 +123,9 @@ def sp_gcn_forward_ring(
             if ob is None:
                 return acc.astype(jnp.float32)
             levels = _requant_levels(acc, ob)
-            return _levels_to_digits(levels, ob)
+            return _levels_to_digits(
+                levels, ob, (rows_loc, h_loc.shape[1])
+            )
 
         for l, w in enumerate(ws_loc):
             h = _mm_to_bits(h, w, out_bits, interpret=interpret)
@@ -151,7 +153,11 @@ def _requant_levels(acc: jnp.ndarray, out_bits: int) -> jnp.ndarray:
     return r & (ub - 1)
 
 
-def _levels_to_digits(levels: jnp.ndarray, bits: int) -> DigitTensor:
+def _levels_to_digits(
+    levels: jnp.ndarray, bits: int, logical_shape
+) -> DigitTensor:
+    """levels may be column-padded; ``logical_shape`` records the true
+    extent (DigitTensor convention: padded array + logical shape)."""
     from qgtc_ppopp22_tpu.ops.bitpack import DIGIT_BITS, num_digits
 
     out = []
@@ -163,7 +169,7 @@ def _levels_to_digits(levels: jnp.ndarray, bits: int) -> DigitTensor:
             )
         )
     return DigitTensor(
-        digits=jnp.stack(out), shape=levels.shape, bits=bits
+        digits=jnp.stack(out), shape=tuple(logical_shape), bits=bits
     )
 
 

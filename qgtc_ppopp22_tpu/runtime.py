@@ -290,20 +290,12 @@ class QGTCEngine:
         model, bit_width = self.model, self.bit_width
         from qgtc_ppopp22_tpu.ops.digits import planes_stack_to_digits
 
-        groups: dict = {}
-        for b in batcher.batches:
-            key = (b.padded_nodes, b.bit_X.shape[1])
-            groups.setdefault(key, []).append(b)
         staged = []
-        for key, bs in groups.items():
+        for key, bs, a_np, x_np in self._fused_groups(batcher):
             # One transfer + one jitted conversion per shape bucket
             # (per-batch staging costs a dispatch round-trip each).
-            a_planes = jax.device_put(
-                np.stack([np.asarray(b.bit_A.planes) for b in bs])
-            )
-            x_planes = jax.device_put(
-                np.stack([np.asarray(b.bit_X.planes) for b in bs])
-            )
+            a_planes = jax.device_put(a_np)
+            x_planes = jax.device_put(x_np)
             pn_, xshape = key[0], bs[0].bit_X.shape
             a_stack = jax.jit(
                 lambda p: planes_stack_to_digits(p, (pn_, pn_), 1)[:, 0]
@@ -373,17 +365,22 @@ class BaselineEngine:
         self._step = jax.jit(step)
         self._dense_cache: dict = {}
 
-    def forward_batch(self, batch: ClusterBatch, dataset) -> jnp.ndarray:
+    def forward_batch(
+        self, batch: ClusterBatch, dataset, features=None
+    ) -> jnp.ndarray:
         # The DGL baseline ships the subgraph + float features to the
         # device per step (cluster_gcn_dgl.py:97-101); equivalent here:
-        # dense uint8 A + f32 X over the link.
+        # dense uint8 A + f32 X over the link. ``features`` must be
+        # the batcher's (which may be precalc-augmented); falls back
+        # to the dataset's raw features.
         key = id(batch)
         if key not in self._dense_cache:
+            feats = features if features is not None else dataset.features
             n, pn = batch.num_nodes, batch.padded_nodes
             a = np.zeros((pn, pn), np.uint8)
             a[:n, :n] = dataset.graph.subgraph_dense(batch.nodes)
             x = np.zeros((pn, batch.bit_X.shape[1]), np.float32)
-            x[:n] = dataset.features[batch.nodes][:, : batch.bit_X.shape[1]]
+            x[:n] = feats[batch.nodes][:, : batch.bit_X.shape[1]]
             self._dense_cache[key] = (a, x)
         a, x = self._dense_cache[key]
         return self._step(
@@ -399,7 +396,7 @@ class BaselineEngine:
         sync_every_epoch: bool = False,
     ) -> EpochStats:
         for b in batcher.batches:  # warm all buckets + fill dense cache
-            _sync(self.forward_batch(b, dataset))
+            _sync(self.forward_batch(b, dataset, batcher.features))
         staged = None
         if resident:
             staged = []
@@ -446,7 +443,7 @@ def _baseline_fused_epochs(
     kernel-level comparison against the quantized engine's fused
     modes). Dense adjacencies are staged uint8 and cast in-graph."""
     for b in batcher.batches:
-        _sync(engine.forward_batch(b, dataset))
+        _sync(engine.forward_batch(b, dataset, batcher.features))
     groups: dict = {}
     for b in batcher.batches:
         a, x = engine._dense_cache[id(b)]

@@ -17,7 +17,7 @@ from qgtc_ppopp22_tpu.models.qmodels import qgcn_forward
 from qgtc_ppopp22_tpu.parallel import make_mesh, sp_gcn_forward, sp_gcn_forward_ring, sp_gin_forward, dp_sp_epoch_step, shard_batches
 
 rng = np.random.default_rng(0)
-bits, n, d, hid, cls = 2, 1024, 128, 128, 128
+bits, n, d, hid, cls = 2, 1024, 128, 64, 128
 qa = (rng.random((n, n)) < 0.01).astype(np.int32)
 qx = rng.integers(0, 4, (n, d)).astype(np.int32)
 qws = [rng.integers(0, 4, s).astype(np.int32)

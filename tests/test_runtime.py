@@ -113,6 +113,49 @@ def test_gin_engine(small):
     assert out.shape == (it.batches[0].padded_nodes, ds.num_classes)
 
 
+def test_baseline_engine_precalc(small):
+    """--use-pp path: baseline must consume the batcher's augmented
+    features (regression: crashed reading dataset.features)."""
+    ds, _ = small
+    it = ClusterBatcher(
+        ds, 4, 2, bit_width=2, bucket_rows=256, precalc=True,
+        shuffle=False,
+    )
+    eng = BaselineEngine(
+        feat_dim=it.feat_dim, num_classes=ds.num_classes, model="sage"
+    )
+    st = eng.run_epochs(it, ds, n_epochs=1)
+    assert st.avg_ms > 0
+
+
+def test_mega_nonstandard_buckets_and_gin_layers(small):
+    """Mega kernel: 256-multiple buckets and 1/2-layer GIN chains."""
+    ds, _ = small
+    it = ClusterBatcher(ds, 4, 2, bit_width=2, bucket_rows=256,
+                        shuffle=False)
+    for nl in (1, 2):
+        eng = QGTCEngine(
+            feat_dim=it.feat_dim, num_classes=ds.num_classes,
+            model="gin", bit_width=2, num_layers=nl,
+        )
+        ref = np.asarray(eng.forward_batch(it.batches[0]))
+        st = eng.run_epochs_mega(it, n_epochs=1)
+        assert st.avg_ms > 0
+        import jax, jax.numpy as jnp
+        from qgtc_ppopp22_tpu.ops.digits import to_digit_tensor
+        from qgtc_ppopp22_tpu.ops.fused_model import fused_model_epoch
+
+        b = it.batches[0]
+        a_lv = to_digit_tensor(jax.device_put(b.bit_A)).digits[0]
+        x_dg = jnp.asarray(to_digit_tensor(jax.device_put(b.bit_X)).digits)
+        out = fused_model_epoch(
+            a_lv[None], x_dg[None], tuple(eng.weights), 2, model="gin"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out[0])[:, : ref.shape[1]], ref
+        )
+
+
 def test_baseline_engine(small):
     ds, it = small
     eng = BaselineEngine(
