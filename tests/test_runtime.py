@@ -180,3 +180,29 @@ def test_cli_main(small, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "Avg. Epoch:" in out
     assert (tmp_path / "out.jsonl").exists()
+
+
+def test_cli_checkpoint_roundtrip(small, tmp_path, capsys):
+    """QAT -> save_checkpoint -> CLI --weights end-to-end."""
+    import jax
+
+    from qgtc_ppopp22_tpu.cli import main
+    from qgtc_ppopp22_tpu.models.qmodels import QModelConfig, init_weights
+    from qgtc_ppopp22_tpu.models.train import save_checkpoint
+
+    ds, it = small
+    cfg = QModelConfig(it.feat_dim, 16, ds.num_classes, bit_width=2)
+    ws = init_weights(jax.random.PRNGKey(21), cfg)
+    ck = str(tmp_path / "model.npz")
+    save_checkpoint(ck, ws, [1, 2, 1, 2, 1], cfg, model="gcn")
+
+    rc = main([
+        "--dataset", "Proteins", "--dataset-scale", "0.02",
+        "--psize", "4", "--batch-size", "2", "--n-epochs", "1",
+        "--use_QGTC", "--weights", ck, "--eval-accuracy",
+        "--cache-dir", str(tmp_path),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "loaded checkpoint: gcn, 2-bit" in out
+    assert "accuracy:" in out
