@@ -61,7 +61,7 @@ class GraphDataset:
 # 32k-node dense adjacency (1 GB) — infeasible for ANY dense-tile
 # engine (the reference's scripts list products but its artifact
 # tables stop at arxiv). Scale psize with the graph instead.
-DEFAULT_PSIZE = {"ogbn-products": 15000}
+DEFAULT_PSIZE = {"ogbn-products": 25000}
 
 
 # name -> (num_nodes, num_edges, feat_dim, num_classes)

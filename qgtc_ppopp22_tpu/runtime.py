@@ -292,19 +292,46 @@ class QGTCEngine:
 
         staged = []
         for key, bs, a_np, x_np in self._fused_groups(batcher):
-            # One transfer + one jitted conversion per shape bucket
-            # (per-batch staging costs a dispatch round-trip each).
-            a_planes = jax.device_put(a_np)
-            x_planes = jax.device_put(x_np)
+            # Chunked transfer + conversion: the uint32 unpack
+            # intermediate is 4 bytes/element, so converting hundreds
+            # of batches in one call OOMs HBM at products scale.
             pn_, xshape = key[0], bs[0].bit_X.shape
-            a_stack = jax.jit(
+            bw = self.bit_width
+            conv_a = jax.jit(
                 lambda p: planes_stack_to_digits(p, (pn_, pn_), 1)[:, 0]
-            )(a_planes)
-            x_stack = jax.jit(
-                lambda p: planes_stack_to_digits(
-                    p, xshape, self.bit_width
-                )
-            )(x_planes)
+            )
+            conv_x = jax.jit(
+                lambda p: planes_stack_to_digits(p, xshape, bw)
+            )
+            step_n = 16
+            B_ = len(bs)
+            # donated in-place fill: peak HBM = final stack + one chunk
+            fill_a = jax.jit(
+                lambda st, part, i: jax.lax.dynamic_update_slice(
+                    st, part, (i, 0, 0)
+                ),
+                donate_argnums=0,
+            )
+            fill_x = jax.jit(
+                lambda st, part, i: jax.lax.dynamic_update_slice(
+                    st, part, (i, 0, 0, 0)
+                ),
+                donate_argnums=0,
+            )
+            a_stack = None
+            x_stack = None
+            for i in range(0, B_, step_n):
+                pa = conv_a(jax.device_put(a_np[i: i + step_n]))
+                px = conv_x(jax.device_put(x_np[i: i + step_n]))
+                if a_stack is None:
+                    a_stack = jnp.zeros(
+                        (B_,) + pa.shape[1:], jnp.int8
+                    )
+                    x_stack = jnp.zeros(
+                        (B_,) + px.shape[1:], jnp.int8
+                    )
+                a_stack = fill_a(a_stack, pa, i)
+                x_stack = fill_x(x_stack, px, i)
             shifts_t = self.shifts
             fn = jax.jit(
                 lambda a_, x_, w_: fused_model_epoch(
