@@ -213,18 +213,21 @@ def main(argv=None) -> int:
         if args.zerotile_jump:
             # Aggregate tile counters (reference print_counter role,
             # kernel.h:17-28 / parse_counter.py)
-            from qgtc_ppopp22_tpu.ops.digitmm import (
-                zero_tile_stats_digits,
-            )
+            from qgtc_ppopp22_tpu.ops.digitmm import build_tile_map_digits
             from qgtc_ppopp22_tpu.ops.digits import to_digit_tensor
+
+            # jitted per bucket shape: the eager per-op path costs
+            # seconds per batch over the dispatch tunnel
+            @jax.jit
+            def _counts(bit_a):
+                tm = build_tile_map_digits(to_digit_tensor(bit_a))
+                return jax.numpy.sum(tm.kcnt), tm.kidx.size
 
             total = processed = 0
             for b in batcher.batches:
-                stt = zero_tile_stats_digits(
-                    to_digit_tensor(jax.device_put(b.bit_A))
-                )
-                total += stt["total"]
-                processed += stt["processed"]
+                proc, tot = _counts(jax.device_put(b.bit_A))
+                total += int(tot)
+                processed += int(proc)
             record["tiles_total"] = total
             record["tiles_processed"] = processed
             print(

@@ -21,6 +21,8 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
+from qgtc_ppopp22_tpu.ops.quantize import requantize_wrapped as _requant
+
 __all__ = ["sparse_q_forward", "sparse_aggregate_levels"]
 
 
@@ -38,14 +40,6 @@ def sparse_aggregate_levels(
     return jax.ops.segment_sum(
         h[indices], row, num_segments=num_nodes
     )
-
-
-def _requant(acc: jnp.ndarray, out_bits: int, shift: int) -> jnp.ndarray:
-    ub = 1 << out_bits
-    if shift:
-        acc = acc >> shift
-    r = jnp.where(acc > ub, ub - 1, jnp.where(acc < 0, 1, acc))
-    return r & (ub - 1)
 
 
 def sparse_q_forward(

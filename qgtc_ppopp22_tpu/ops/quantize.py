@@ -72,6 +72,15 @@ def requantize(
     return jnp.where(acc > ub, ub - 1, jnp.where(acc < 0, 1, acc))
 
 
+def requantize_wrapped(
+    acc: jnp.ndarray, out_bits: int, shift: int = 0
+) -> jnp.ndarray:
+    """:func:`requantize` plus the pack-time wrap (level ``2^bits``
+    -> 0, ``kernel.h:226-229``) — the effective levels the packed
+    container would hold."""
+    return requantize(acc, out_bits, shift) & ((1 << out_bits) - 1)
+
+
 def dequantize_levels(q: jnp.ndarray) -> jnp.ndarray:
     """Integer levels -> float32.
 

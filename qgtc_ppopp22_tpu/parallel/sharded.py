@@ -35,6 +35,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from qgtc_ppopp22_tpu.models.qmodels import _mm_to_bits
 from qgtc_ppopp22_tpu.ops.digits import DigitTensor
+from qgtc_ppopp22_tpu.ops.quantize import requantize_wrapped
 from qgtc_ppopp22_tpu.ops.digitmm import digitmm_to_digits, digitmm_to_f32
 
 
@@ -122,7 +123,7 @@ def sp_gcn_forward_ring(
                 src = jax.lax.rem(src + n_sp - 1, n_sp)
             if ob is None:
                 return acc.astype(jnp.float32)
-            levels = _requant_levels(acc, ob)
+            levels = requantize_wrapped(acc, ob)
             return _levels_to_digits(
                 levels, ob, (rows_loc, h_loc.shape[1])
             )
@@ -144,13 +145,6 @@ def sp_gcn_forward_ring(
     return fn(a.digits, x.digits, *[w.digits for w in ws])[
         : a.shape[0], : ws[-1].shape[1]
     ]
-
-
-def _requant_levels(acc: jnp.ndarray, out_bits: int) -> jnp.ndarray:
-    """Reference requantizer + pack wrap on an int32 accumulator."""
-    ub = 1 << out_bits
-    r = jnp.where(acc > ub, ub - 1, jnp.where(acc < 0, 1, acc))
-    return r & (ub - 1)
 
 
 def _levels_to_digits(
