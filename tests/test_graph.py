@@ -101,3 +101,28 @@ def test_precalc_doubles_feat_dim():
     ds = synthesize("Proteins", scale=0.02, seed=3)
     it = ClusterBatcher(ds, 4, 2, bit_width=2, precalc=True, shuffle=False)
     assert it.feat_dim == 2 * ds.feat_dim
+
+
+def test_load_npz_reference_format(tmp_path, rng):
+    """P1: reference-format npz (src_li/dst_li) loads like dataset.py."""
+    from qgtc_ppopp22_tpu.graph import load_npz
+    from qgtc_ppopp22_tpu.graph.datasets import load_dataset
+
+    src = rng.integers(0, 100, 400)
+    dst = rng.integers(0, 100, 400)
+    p = tmp_path / "toy.npz"
+    np.savez(p, src_li=src, dst_li=dst)
+    ds = load_npz(str(p), dim=29, num_classes=2, name="toy")
+    assert ds.num_nodes == int(max(src.max(), dst.max())) + 1
+    assert ds.features.shape == (ds.num_nodes, 29)
+    # undirected insertion: both directions present
+    dense = ds.graph.subgraph_dense(np.arange(ds.num_nodes))
+    assert np.array_equal(dense, dense.T)
+    # masks follow the reference's prefix fractions (dataset.py:23-32)
+    assert ds.train_mask.all()
+    assert ds.val_mask.sum() == int(ds.num_nodes * 0.3)
+
+    # load_dataset prefers an on-disk npz over synthesis
+    np.savez(tmp_path / "Proteins.npz", src_li=src, dst_li=dst)
+    ds2 = load_dataset("Proteins", data_dir=str(tmp_path))
+    assert ds2.num_nodes == ds.num_nodes  # loaded, not synthesized
