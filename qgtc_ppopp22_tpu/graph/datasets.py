@@ -61,7 +61,7 @@ class GraphDataset:
 # 32k-node dense adjacency (1 GB) — infeasible for ANY dense-tile
 # engine (the reference's scripts list products but its artifact
 # tables stop at arxiv). Scale psize with the graph instead.
-DEFAULT_PSIZE = {"ogbn-products": 25000}
+DEFAULT_PSIZE = {"ogbn-products": 25000, "reddit": 2500}
 
 
 # name -> (num_nodes, num_edges, feat_dim, num_classes)
@@ -74,6 +74,7 @@ DATASET_STATS: Dict[str, Tuple[int, int, int, int]] = {
     "soc-BlogCatalog": (88_784, 2_093_195, 128, 39),
     "ppi": (56_944, 818_716, 50, 121),
     "ogbn-arxiv": (169_343, 1_166_243, 128, 40),
+    "reddit": (232_965, 114_615_892, 602, 41),
     "ogbn-products": (2_449_029, 61_859_140, 100, 47),
 }
 

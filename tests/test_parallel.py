@@ -75,3 +75,19 @@ def test_sharded_forward_matches_single_device():
     assert "SP-GIN-OK" in out
     assert "RING-OK" in out
     assert "DP-SP-OK" in out
+
+
+def test_multihost_helpers_single_process():
+    """pod_mesh / host_batch_slice in the 1-process case."""
+    code = r"""
+import jax
+from qgtc_ppopp22_tpu.parallel import pod_mesh, host_batch_slice, initialize
+initialize(num_processes=1)  # no-op
+mesh = pod_mesh()
+assert mesh.shape["dp"] * mesh.shape["sp"] == jax.device_count()
+sl = host_batch_slice(75)
+assert sl == slice(0, 75), sl
+print("MH-OK")
+"""
+    out = run_on_cpu_mesh(code, n_devices=8)
+    assert "MH-OK" in out
