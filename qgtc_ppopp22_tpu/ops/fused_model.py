@@ -97,10 +97,28 @@ def fused_model_epoch(
         raise ValueError(f"bad stacked shapes {a_stack.shape} {x_stack.shape}")
     if model not in ("gcn", "gin"):
         raise ValueError(model)
-    if pn > 3072:
+    # Static VMEM budget: resident A (pn^2 int8) + double-buffered x
+    # block + int32 accumulator + double-buffered f32 output + weights
+    # must fit the ~16 MB core VMEM with headroom for Mosaic
+    # transients. Callers fall back to the scan engine when this
+    # raises.
+    cp_est = ws[-1].digits.shape[2]
+    hid_est = max(
+        [w.digits.shape[2] for w in ws[:-1]] + [xp, cp_est]
+    )
+    need = (
+        pn * pn
+        + 2 * nd_x * pn * xp
+        + 4 * pn * hid_est
+        + 2 * 4 * pn * cp_est
+        + 2 * sum(w.digits.size for w in ws)
+        + (2 << 20)
+    )
+    if need > (15 << 20):
         raise ValueError(
-            f"pn={pn} exceeds the resident-adjacency VMEM budget "
-            "(~3072); use the per-GEMM engine modes for larger buckets"
+            f"bucket pn={pn} (x digits={nd_x}) needs ~{need >> 20} MB "
+            "VMEM for the resident-adjacency kernel; use the scan "
+            "engine for this bucket"
         )
     chunk = next(
         (c for c in (512, 256, 128) if c <= pn and pn % c == 0), None

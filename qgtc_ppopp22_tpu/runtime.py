@@ -333,13 +333,25 @@ class QGTCEngine:
                 a_stack = fill_a(a_stack, pa, i)
                 x_stack = fill_x(x_stack, px, i)
             shifts_t = self.shifts
-            fn = jax.jit(
-                lambda a_, x_, w_: fused_model_epoch(
-                    a_, x_, w_, bit_width, model=model, shifts=shifts_t
+            try:
+                fn = jax.jit(
+                    lambda a_, x_, w_: fused_model_epoch(
+                        a_, x_, w_, bit_width, model=model,
+                        shifts=shifts_t,
+                    )
                 )
-            )
-            _sync(fn(a_stack, x_stack, ws))  # compile + warm
-            staged.append((fn, a_stack, x_stack))
+                _sync(fn(a_stack, x_stack, ws))  # compile + warm
+                staged.append((fn, a_stack, x_stack))
+            except Exception:
+                # Bucket exceeds the mega kernel's VMEM budget (or any
+                # compile failure): run this bucket through the scan
+                # engine instead — still one dispatch per epoch.
+                del a_stack, x_stack
+                sfn = self._fused_epoch_fn(pn_, xshape)
+                a_d = jax.device_put(a_np)
+                x_d = jax.device_put(x_np)
+                _sync(sfn(a_d, x_d, ws))
+                staged.append((sfn, a_d, x_d))
 
         def one_epoch():
             out = None
