@@ -91,3 +91,42 @@ print("MH-OK")
 """
     out = run_on_cpu_mesh(code, n_devices=8)
     assert "MH-OK" in out
+
+
+def test_two_process_distributed_forward():
+    """REAL multi-process execution (jax.distributed, 2 processes x 4
+    CPU devices): the sharded quantized forward must be bit-exact."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "assets", "multihost_worker.py",
+    )
+    env = dict(os.environ)
+    env.update(
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-u", worker, str(i), "2", str(port)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+        assert p.returncode == 0, out[-2000:]
+    for i, out in enumerate(outs):
+        assert f"p{i}: MULTIHOST-OK" in out, out[-2000:]
