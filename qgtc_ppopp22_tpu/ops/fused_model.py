@@ -84,12 +84,18 @@ def fused_model_epoch(
     model: str = "gcn",
     interpret: Optional[bool] = None,
     shifts: Optional[Sequence[int]] = None,
+    resident_a: Optional[bool] = None,
 ) -> jax.Array:
     """Run the full model over every stacked batch in ONE pallas call.
 
     Returns float32 logits [B, pn, cls_padded]. ``shifts``: optional
     per-GEMM power-of-two requant scales, ordered as in
     ``qgcn_forward``/``qgin_forward`` (None = reference semantics).
+    ``resident_a`` selects the adjacency strategy: True keeps the
+    whole A in VMEM across the layer stack (one HBM crossing per
+    batch; needs pn^2 of VMEM), False streams A through a two-chunk
+    double buffer on every aggregation (one crossing per aggregation;
+    fits any pn). None picks resident when the VMEM budget allows.
     """
     B, pn, pn2 = a_stack.shape
     _, nd_x, pnx, xp = x_stack.shape
@@ -106,19 +112,20 @@ def fused_model_epoch(
     hid_est = max(
         [w.digits.shape[2] for w in ws[:-1]] + [xp, cp_est]
     )
-    need = (
-        pn * pn
-        + 2 * nd_x * pn * xp
+    fixed = (
+        2 * nd_x * pn * xp
         + 4 * pn * hid_est
         + 2 * 4 * pn * cp_est
         + 2 * sum(w.digits.size for w in ws)
         + (2 << 20)
     )
+    if resident_a is None:
+        resident_a = fixed + pn * pn <= (15 << 20)
+    need = fixed + (pn * pn if resident_a else 0)
     if need > (15 << 20):
         raise ValueError(
             f"bucket pn={pn} (x digits={nd_x}) needs ~{need >> 20} MB "
-            "VMEM for the resident-adjacency kernel; use the scan "
-            "engine for this bucket"
+            "VMEM even for the streaming kernel; use the scan engine"
         )
     chunk = next(
         (c for c in (512, 256, 128) if c <= pn and pn % c == 0), None
@@ -143,43 +150,62 @@ def fused_model_epoch(
             [w_ref[d] for d in range(w_ref.shape[0])] for w_ref in ws_refs
         ]
 
-        def copy(c):
-            # chunk c of this batch's adjacency -> its slice of the
-            # full-size VMEM buffer (one DMA per chunk, all in flight)
+        def copy(c, slot=None):
+            # chunk c of this batch's adjacency -> resident slice, or
+            # a 2-slot double buffer in streaming mode
+            if resident_a:
+                dst = a_vmem.at[pl.ds(c * chunk, chunk), :]
+                s_ = sem.at[c]
+            else:
+                dst = a_vmem.at[slot]
+                s_ = sem.at[slot]
             return pltpu.make_async_copy(
-                a_hbm.at[b, pl.ds(c * chunk, chunk), :],
-                a_vmem.at[pl.ds(c * chunk, chunk), :],
-                sem.at[c],
+                a_hbm.at[b, pl.ds(c * chunk, chunk), :], dst, s_
             )
 
         def agg(h_digits, final: bool, shift: int = 0):
-            """acc_rows = A @ H with A resident in VMEM.
+            """acc_rows = A @ H.
 
-            The FIRST aggregation of a batch streams A from HBM chunk
-            by chunk (all DMAs in flight at once, each waited just
-            before its chunk's MXU pass); later aggregations reuse the
-            resident copy — A crosses HBM once per batch instead of
-            once per aggregation (3x less DMA; it is the dominant
-            traffic). Chunk loop statically unrolled so Mosaic lowers
-            each dot onto the MXU.
+            Resident mode: the FIRST aggregation streams A chunk by
+            chunk into the full-size VMEM buffer (all DMAs in flight,
+            each waited just before its chunk's MXU pass); later
+            aggregations reuse the copy — A crosses HBM once per
+            batch. Streaming mode: every aggregation re-streams A
+            through a two-chunk double buffer (chunk c+1's DMA in
+            flight while chunk c multiplies) — one crossing per
+            aggregation, but only 2*chunk*pn bytes of VMEM. Chunk
+            loops statically unrolled so Mosaic lowers each dot onto
+            the MXU.
             """
             ncols = h_digits[0].shape[1]
-            first = not seen_a[0]
-            if first:
-                for c in range(nch):
-                    copy(c).start()
-            for c in range(nch):
-                if first:
-                    copy(c).wait()
-                a_c = a_vmem[c * chunk : (c + 1) * chunk, :]
-                part = _digit_dot([a_c], h_digits)
+
+            def emit(c, part):
                 if final:
                     o_ref[0, c * chunk : (c + 1) * chunk, :] = part.astype(
                         jnp.float32
                     )
                 else:
                     acc_ref[c * chunk : (c + 1) * chunk, 0:ncols] = part
-            seen_a[0] = True
+
+            if resident_a:
+                first = not seen_a[0]
+                if first:
+                    for c in range(nch):
+                        copy(c).start()
+                for c in range(nch):
+                    if first:
+                        copy(c).wait()
+                    a_c = a_vmem[c * chunk : (c + 1) * chunk, :]
+                    emit(c, _digit_dot([a_c], h_digits))
+                seen_a[0] = True
+            else:
+                copy(0, 0).start()
+                for c in range(nch):
+                    slot = c % 2
+                    if c + 1 < nch:
+                        copy(c + 1, (c + 1) % 2).start()
+                    copy(c, slot).wait()
+                    emit(c, _digit_dot([a_vmem[slot]], h_digits))
             if final:
                 return None
             return _requant_digits(acc_ref[:, 0:ncols], out_bits, shift)
@@ -233,9 +259,13 @@ def fused_model_epoch(
         ),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((pn, pn), jnp.int8),  # resident adjacency
+            (
+                pltpu.VMEM((pn, pn), jnp.int8)  # resident adjacency
+                if resident_a
+                else pltpu.VMEM((2, chunk, pn), jnp.int8)  # 2-chunk buf
+            ),
             pltpu.VMEM((pn, hid_cols), jnp.int32),  # aggregation accumulator
-            pltpu.SemaphoreType.DMA((nch,)),
+            pltpu.SemaphoreType.DMA((nch if resident_a else 2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
