@@ -56,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--zerotile_jump", action="store_true")
     p.add_argument("--regular", action="store_true",
                    help="full-precision baseline (DGL-driver role)")
+    p.add_argument("--sparse", action="store_true",
+                   help="full-graph sparse quantized engine (CSR "
+                        "segment-sum; no clustering/densification)")
     p.add_argument("--use-pp", action="store_true",
                    help="precompute feature aggregation (sampler precalc)")
     p.add_argument("--fmt", choices=("digits", "bits"), default="digits")
@@ -103,6 +106,62 @@ def main(argv=None) -> int:
     )
 
     t0 = time.perf_counter()
+    if args.sparse:
+        import jax.numpy as jnp
+
+        from qgtc_ppopp22_tpu.graph.batching import quantize_np
+        from qgtc_ppopp22_tpu.models.qmodels import (
+            QModelConfig,
+            init_weights,
+        )
+        from qgtc_ppopp22_tpu.models.sparse import sparse_q_forward
+        from qgtc_ppopp22_tpu.runtime import EpochStats, _sync, _timed_epochs
+
+        model = "gin" if args.run_GIN else "gcn"
+        hidden = args.hidden or (16 if model == "gcn" else 64)
+        cfg = QModelConfig(
+            ds.feat_dim, hidden, ds.num_classes,
+            bit_width=args.bit_width, num_layers=args.num_layers,
+        )
+        ws = init_weights(jax.random.PRNGKey(args.rnd_seed), cfg)
+        qws = [
+            jnp.asarray(quantize_np(np.asarray(w), args.bit_width))
+            for w in ws
+        ]
+        indptr = jax.device_put(jnp.asarray(ds.graph.indptr))
+        indices = jax.device_put(jnp.asarray(ds.graph.indices))
+        qx = jax.device_put(
+            jnp.asarray(quantize_np(ds.features, args.bit_width))
+        )
+        bw, mn = args.bit_width, model
+        fwd = jax.jit(
+            lambda ip, ix, x, w: sparse_q_forward(
+                ip, ix, x, w, out_bits=bw, model=mn
+            )
+        )
+        _sync(fwd(indptr, indices, qx, qws))
+        stats = _timed_epochs(
+            lambda: fwd(indptr, indices, qx, qws),
+            args.n_epochs, 1, args.sync_every_epoch,
+        )
+        record = dict(
+            dataset=ds.name,
+            bit_width=args.bit_width,
+            model=model,
+            engine="sparse-full-graph",
+            n_epochs=args.n_epochs,
+        )
+        print(f"Avg. Epoch: {stats.avg_ms:.3f} ms")
+        record["avg_epoch_ms"] = stats.avg_ms
+        record["epoch_ms"] = stats.epoch_ms
+        line = json.dumps(record)
+        print(line)
+        if args.json_out:
+            with open(args.json_out, "a") as f:
+                f.write(line + "\n")
+        return 0
+
+
     from qgtc_ppopp22_tpu.graph.datasets import DEFAULT_PSIZE
 
     psize = args.psize or DEFAULT_PSIZE.get(ds.name, 1500)
