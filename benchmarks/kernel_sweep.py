@@ -27,19 +27,25 @@ import numpy as np
 
 
 def bench_shape(M, K, N, bits, rng):
+    """Packed-consuming GEMM, bit in / bit out — the exact role of the
+    reference profile op ``bitMM2Bit_profile`` (``QGTC_device.cu:
+    379-434``): A arrives bit-packed, the epilogue requantizes and
+    repacks in-kernel."""
     import jax
     import jax.numpy as jnp
 
     from qgtc_ppopp22_tpu.ops.bitgemm import flops_convention
-    from qgtc_ppopp22_tpu.ops.digitmm import digitmm_to_f32
+    from qgtc_ppopp22_tpu.ops.packmm import pack_rows, packmm_to_packed
     from qgtc_ppopp22_tpu.ops.digits import digit_pack
     from qgtc_ppopp22_tpu.utils.timing import device_bench
 
     qa = rng.integers(0, 1 << bits, (M, K)).astype(np.int32)
     qb = rng.integers(0, 1 << bits, (K, N)).astype(np.int32)
-    a = digit_pack(jnp.asarray(qa), bits)
+    a = pack_rows(jnp.asarray(qa), bits)
     b = digit_pack(jnp.asarray(qb), bits)
-    t = device_bench(lambda a_, b_: digitmm_to_f32(a_, b_), (a, b), reps=1)
+    t = device_bench(
+        lambda a_, b_: packmm_to_packed(a_, b_, bits).words, (a, b), reps=1
+    )
     return t, flops_convention(M, N, K) / t / 1e12
 
 

@@ -24,6 +24,17 @@ from qgtc_ppopp22_tpu.ops.digits import (
 from qgtc_ppopp22_tpu.ops.digitmm import (
     digitmm_to_digits,
     digitmm_to_f32,
+    digitmm_to_i32,
     build_tile_map_digits,
     zero_tile_stats_digits,
+)
+from qgtc_ppopp22_tpu.ops.packmm import (
+    PackedTensor,
+    pack_rows,
+    unpack_rows,
+    pack_digit_tensor,
+    packmm_to_f32,
+    packmm_to_digits,
+    packmm_to_packed,
+    build_tile_map_packed,
 )

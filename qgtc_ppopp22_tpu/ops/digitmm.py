@@ -41,6 +41,7 @@ from qgtc_ppopp22_tpu.ops.digits import DigitTensor
 __all__ = [
     "digitmm_to_digits",
     "digitmm_to_f32",
+    "digitmm_to_i32",
     "digit_lhs_tiles",
     "build_tile_map_digits",
     "zero_tile_stats_digits",
@@ -116,7 +117,9 @@ def zero_tile_stats_digits(
     }
 
 
-def _make_kernel(nd_a, nd_b, out_bits, nk, tm, tk, tn, sparse, shift=0):
+def _make_kernel(
+    nd_a, nd_b, out_bits, nk, tm, tk, tn, sparse, shift=0, raw_i32=False
+):
     dot_dims = (((1,), (0,)), ((), ()))
 
     def kernel(kidx_ref, kcnt_ref, a_ref, b_ref, o_ref, acc_ref):
@@ -137,8 +140,8 @@ def _make_kernel(nd_a, nd_b, out_bits, nk, tm, tk, tn, sparse, shift=0):
                         dot_dims,
                         preferred_element_type=jnp.int32,
                     )
-                    shift = DIGIT_BITS * (d + e)
-                    acc = acc + (part << shift if shift else part)
+                    dig_shift = DIGIT_BITS * (d + e)
+                    acc = acc + (part << dig_shift if dig_shift else part)
             acc_ref[:] = acc
 
         if sparse:
@@ -152,7 +155,7 @@ def _make_kernel(nd_a, nd_b, out_bits, nk, tm, tk, tn, sparse, shift=0):
         def _epilogue():
             acc = acc_ref[:]
             if out_bits is None:
-                o_ref[:] = acc.astype(jnp.float32)
+                o_ref[:] = acc if raw_i32 else acc.astype(jnp.float32)
             else:
                 ub = 1 << out_bits
                 # Reference requantizer reduction (kernel.h:347-351):
@@ -179,6 +182,7 @@ def _digitmm(
     interpret: Optional[bool],
     tiles: Optional[tuple] = None,
     shift: int = 0,
+    raw_i32: bool = False,
 ):
     M, Ka = a.shape
     Kb, N = b.shape
@@ -188,6 +192,20 @@ def _digitmm(
     nd_b, kp_b, np_ = b.digits.shape
     if kp != kp_b:
         raise ValueError(f"padded K mismatch: lhs {kp} vs rhs {kp_b}")
+    # int32 accumulator bound: the worst-case shifted digit product is
+    # sum_{d,e} 15*15 * kp << 4(d+e); it must stay below 2^31 or the
+    # exact-integer contract silently breaks (only reachable for 8-bit
+    # x 8-bit operands once padded K exceeds ~33k).
+    worst = sum(
+        225 * (1 << (DIGIT_BITS * (d + e)))
+        for d in range(nd_a)
+        for e in range(nd_b)
+    )
+    if worst * kp >= (1 << 31):
+        raise ValueError(
+            f"padded K={kp} at {nd_a}x{nd_b} digit planes can "
+            "overflow the int32 accumulator; split the contraction"
+        )
 
     if tiles is not None:
         tm, tk, tn = tiles
@@ -225,7 +243,7 @@ def _digitmm(
 
     kernel = _make_kernel(
         nd_a, nd_b, out_bits, nk, tm, tk, tn,
-        sparse=tile_map is not None, shift=shift,
+        sparse=tile_map is not None, shift=shift, raw_i32=raw_i32,
     )
 
     def a_map(i, j, t, kidx_ref, kcnt_ref):
@@ -235,7 +253,9 @@ def _digitmm(
         return (0, kidx_ref[i, t], j)
 
     if out_bits is None:
-        out_shape = jax.ShapeDtypeStruct((mp, np_), jnp.float32)
+        out_shape = jax.ShapeDtypeStruct(
+            (mp, np_), jnp.int32 if raw_i32 else jnp.float32
+        )
         out_spec = pl.BlockSpec(
             (tm, tn), lambda i, j, t, *_: (i, j), memory_space=pltpu.VMEM
         )
@@ -311,3 +331,19 @@ def digitmm_to_f32(
 ) -> jnp.ndarray:
     """Digit-domain GEMM, float32 output (``bitMM2Int`` role)."""
     return _digitmm(a, b, None, tile_map, interpret, tiles)
+
+
+def digitmm_to_i32(
+    a: DigitTensor,
+    b: DigitTensor,
+    tile_map: Optional[TileMap] = None,
+    interpret: Optional[bool] = None,
+    tiles: Optional[tuple] = None,
+) -> jnp.ndarray:
+    """Digit-domain GEMM, raw int32 accumulator output.
+
+    For partial sums that are combined *outside* the kernel (ring
+    aggregation shards, ``parallel/sharded.py``): int32 end to end, so
+    exactness never depends on the f32 24-bit mantissa bound.
+    """
+    return _digitmm(a, b, None, tile_map, interpret, tiles, raw_i32=True)

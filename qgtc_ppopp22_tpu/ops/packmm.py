@@ -1,0 +1,617 @@
+"""Packed-operand GEMM: bit-packed A consumed directly by the kernel.
+
+TPU-native equivalent of the reference's packed-operand BMMA kernels
+(``QGTC_layer_hidden`` family, ``kernel.h:245-391``): where Ampere's
+``bmma_sync`` consumes packed 1-bit fragments natively, the MXU eats
+int8 — so the left operand is stored *bit-packed along M* and unpacked
+in-kernel with SWAR ops that Mosaic overlaps completely with the MXU
+passes (measured: unpack adds 0 ns over an unpack-free ablation).
+
+Why this beats the int8-digit path at the reference's benchmark
+shapes: at N<=32 the digit GEMM (``ops/digitmm.py``) is HBM-bound on
+the M x K int8 left operand (16 MB at M=K=4096 ~ 20 us of DMA on
+v5e); the packed form is ``8/field_bits``x smaller (2 MB at 1-bit),
+turning the kernel MXU-bound (~12.8 us, 42 TFLOPs at 1-bit
+M=K=4096/N=16 vs the reference's 40.6 on sm_86).
+
+Layout (``PackedTensor``): per digit plane, values are packed
+``P = 8 // f`` rows per byte (f = field bits: 1 for 1-bit, 2 for
+2-bit, 4 otherwise), 4 bytes per int32 word, rows permuted within
+fixed 256-row groups so that the in-kernel extraction
+
+    slab_q = bitcast_i32_to_i8((W >> f*q) & repeat_mask(f))
+
+lands logical rows in order after a sublane concat: Mosaic's
+int32->int8 bitcast sends byte k of word-row i to int8-row 4i+k, so
+group row ``q*(4*gw) + 4*i + k`` lives in bits ``[8k + f*q, 8k +
+f*(q+1))`` of word row ``i`` (gw = group words = 256 / (32/f)).
+
+The same trick in reverse packs the requantized output in the
+epilogue (the reference's fused repack, ``kernel.h:357-389``), so
+chained layers can stay in the packed domain end to end.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qgtc_ppopp22_tpu.ops.bitgemm import TileMap
+from qgtc_ppopp22_tpu.ops.bitpack import DIGIT_BITS, num_digits, round_up
+from qgtc_ppopp22_tpu.ops.digits import DigitTensor
+
+__all__ = [
+    "PackedTensor",
+    "field_width",
+    "pack_rows",
+    "pack_rows_np",
+    "pack_digit_tensor",
+    "unpack_rows",
+    "packmm_to_f32",
+    "packmm_to_digits",
+    "packmm_to_packed",
+    "build_tile_map_packed",
+]
+
+PACK_GROUP = 256  # rows per permutation group (fixed, layout contract)
+_MASKS = {1: 0x01010101, 2: 0x03030303, 4: 0x0F0F0F0F}
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def field_width(bits: int) -> int:
+    """Packed field bits per value within one digit plane."""
+    if bits <= 2:
+        return bits
+    return DIGIT_BITS
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PackedTensor:
+    """(M, K) integer levels, bit-packed along M per digit plane.
+
+    ``words``: int32[nd, Mp // (32//f), Kp]; Mp = round_up(M, 256),
+    Kp = round_up(K, 128). Each word packs ``32 // f`` rows of one
+    digit plane (f = field_width(bits)), permuted within 256-row
+    groups per the extraction layout above.
+    """
+
+    words: jax.Array
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    bits: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def ndigits(self) -> int:
+        return self.words.shape[0]
+
+    @property
+    def rows_per_word(self) -> int:
+        return 32 // field_width(self.bits)
+
+    @property
+    def padded_rows(self) -> int:
+        return self.words.shape[1] * self.rows_per_word
+
+    @property
+    def padded_cols(self) -> int:
+        return self.words.shape[2]
+
+    def nbytes(self) -> int:
+        return self.words.size * 4
+
+
+def _group_perm(f: int) -> np.ndarray:
+    """Logical row (within a 256-row group) stored at word-bit slot s.
+
+    Slot ``s = q*(4*gw) + 4*i + k`` (extraction output order) holds
+    logical row ``s`` — i.e. the PACKER must place logical row
+    ``q*4*gw + 4*i + k`` into bits ``8k + f*q`` of word row ``i``.
+    Returns ``rows[q, i, k] = q*4*gw + 4*i + k``.
+    """
+    P = 8 // f
+    rpw = 32 // f
+    gw = PACK_GROUP // rpw
+    q, i, k = np.meshgrid(
+        np.arange(P), np.arange(gw), np.arange(4), indexing="ij"
+    )
+    return q * (4 * gw) + 4 * i + k
+
+
+def pack_rows_np(q: np.ndarray, bits: int) -> np.ndarray:
+    """Host-side packer: int levels (M, K) -> int32 words
+    [nd, Mp//rpw, Kp] (the :class:`PackedTensor` payload)."""
+    f = field_width(bits)
+    P, rpw = 8 // f, 32 // f
+    gw = PACK_GROUP // rpw
+    M, K = q.shape
+    Mp, Kp = round_up(max(M, 1), PACK_GROUP), round_up(max(K, 1), 128)
+    nd = num_digits(bits)
+    lv = np.zeros((Mp, Kp), np.uint32)
+    lv[:M, :K] = q.astype(np.int64) & np.int64((1 << bits) - 1)
+    out = np.zeros((nd, Mp // rpw, Kp), np.uint32)
+    shifts = (8 * np.arange(4)[None, None, :] + f * np.arange(P)[:, None, None])
+    for d in range(nd):
+        width = min(DIGIT_BITS, bits - d * DIGIT_BITS)
+        dig = (lv >> np.uint32(d * DIGIT_BITS)) & np.uint32((1 << width) - 1)
+        # group rows -> [ngroups, P, gw, 4, Kp] in extraction order
+        g = dig.reshape(Mp // PACK_GROUP, PACK_GROUP, Kp)
+        g = g.reshape(-1, P, 4 * gw, Kp)[:, :, :, :]  # row = q*4gw + (4i+k)
+        g = g.reshape(-1, P, gw, 4, Kp)
+        words = np.bitwise_or.reduce(
+            (g << shifts[None, :, :, :, None].astype(np.uint32)),
+            axis=(1, 3),
+        )
+        out[d] = words.reshape(Mp // rpw, Kp)
+    return out.view(np.int32)
+
+
+def pack_rows(q: jnp.ndarray, bits: int) -> PackedTensor:
+    """Device packer: int levels (M, K) -> :class:`PackedTensor`."""
+    f = field_width(bits)
+    P, rpw = 8 // f, 32 // f
+    gw = PACK_GROUP // rpw
+    M, K = q.shape
+    Mp, Kp = round_up(max(M, 1), PACK_GROUP), round_up(max(K, 1), 128)
+    nd = num_digits(bits)
+    lv = jnp.pad(
+        q.astype(jnp.uint32) & jnp.uint32((1 << bits) - 1),
+        ((0, Mp - M), (0, Kp - K)),
+    )
+    shifts = jnp.asarray(
+        8 * np.arange(4)[None, None, :] + f * np.arange(P)[:, None, None],
+        jnp.uint32,
+    )
+    planes = []
+    for d in range(nd):
+        width = min(DIGIT_BITS, bits - d * DIGIT_BITS)
+        dig = (lv >> jnp.uint32(d * DIGIT_BITS)) & jnp.uint32((1 << width) - 1)
+        g = dig.reshape(-1, P, gw, 4, Kp)
+        words = jnp.sum(
+            g << shifts[None, :, :, :, None],
+            axis=(1, 3),
+            dtype=jnp.uint32,
+        )
+        planes.append(words.reshape(Mp // rpw, Kp))
+    words = jax.lax.bitcast_convert_type(jnp.stack(planes), jnp.int32)
+    return PackedTensor(words=words, shape=(M, K), bits=bits)
+
+
+def pack_digit_tensor(dt: DigitTensor) -> PackedTensor:
+    """DigitTensor -> PackedTensor (device op)."""
+    from qgtc_ppopp22_tpu.ops.digits import digit_unpack
+
+    return pack_rows(digit_unpack(dt), dt.bits)
+
+
+def unpack_rows(pt: PackedTensor) -> jnp.ndarray:
+    """PackedTensor -> int32 levels (M, K) (host/test decoder)."""
+    f = field_width(pt.bits)
+    P, rpw = 8 // f, 32 // f
+    gw = PACK_GROUP // rpw
+    M, K = pt.shape
+    w = jax.lax.bitcast_convert_type(pt.words, jnp.uint32)
+    nd, mw, Kp = w.shape
+    vals = jnp.zeros((nd, mw * rpw, Kp), jnp.uint32)
+    shifts = 8 * np.arange(4)[None, None, :] + f * np.arange(P)[:, None, None]
+    g = w.reshape(nd, -1, gw, Kp)
+    parts = (
+        g[:, :, None, :, None, :] >> jnp.asarray(shifts, jnp.uint32)[
+            None, None, :, :, :, None
+        ]
+    ) & jnp.uint32((1 << f) - 1)
+    # parts: [nd, ngroups, P, gw, 4, Kp] -> group rows q*4gw + 4i + k
+    vals = parts.reshape(nd, -1, P, 4 * gw, Kp).reshape(nd, mw * rpw, Kp)
+    out = jnp.zeros((mw * rpw, Kp), jnp.int32)
+    for d in range(nd):
+        out = out + (vals[d].astype(jnp.int32) << (d * DIGIT_BITS))
+    return out[:M, :K]
+
+
+def build_tile_map_packed_np(
+    words: np.ndarray,
+    bits: int,
+    tile_m: int = PACK_GROUP,
+    tile_k: int = 256,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side (NumPy) zero-tile schedule over M-packed words.
+
+    Built ONCE at pack time and shipped with the batch (the reference
+    builds its occupancy inline in the kernel, ``kernel.h:572-586``;
+    round 1 built it per step on device, whose argsort cost made the
+    whole mechanism net-negative). Returns ``(kidx, kcnt)`` with the
+    same clamped-tail schedule as :func:`build_tile_map_packed`.
+    """
+    rpw = 32 // field_width(bits)
+    nd, mw, kp = words.shape
+    mp = mw * rpw
+    if tile_m % PACK_GROUP or mp % tile_m or kp % tile_k:
+        raise ValueError((tile_m, tile_k, mp, kp))
+    nm, nk = mp // tile_m, kp // tile_k
+    tiles = words.reshape(nd, nm, tile_m // rpw, nk, tile_k)
+    occ = np.any(tiles != 0, axis=(0, 2, 4))
+    kcnt = np.sum(occ, axis=1).astype(np.int32)
+    order = np.argsort(~occ, axis=1, kind="stable").astype(np.int32)
+    t = np.arange(nk, dtype=np.int32)[None, :]
+    clamp = np.minimum(t, np.maximum(kcnt - 1, 0)[:, None])
+    kidx = np.take_along_axis(order, clamp, axis=1)
+    return kidx, kcnt
+
+
+def build_tile_map_packed(
+    pt: PackedTensor,
+    tile_m: Optional[int] = None,
+    tile_k: Optional[int] = None,
+) -> TileMap:
+    """Occupancy map over (tile_m x tile_k) tiles of a PackedTensor.
+
+    Same schedule structure as ``digitmm.build_tile_map_digits``
+    (reference zero-tile mechanism, ``kernel.h:572-592``): occupied
+    K-tile indices first, tail clamped to the last valid index.
+    """
+    nd, mw, kp = pt.words.shape
+    rpw = pt.rows_per_word
+    mp = mw * rpw
+    tile_m = tile_m or max(PACK_GROUP, mp // max(mp // 512, 1))
+    tile_k = tile_k or (256 if kp % 256 == 0 else 128)
+    if tile_m % PACK_GROUP or mp % tile_m or kp % tile_k:
+        raise ValueError((tile_m, tile_k, mp, kp))
+    nm, nk = mp // tile_m, kp // tile_k
+    tiles = pt.words.reshape(nd, nm, tile_m // rpw, nk, tile_k)
+    occ = jnp.any(tiles != 0, axis=(0, 2, 4))
+    kcnt = jnp.sum(occ, axis=1).astype(jnp.int32)
+    order = jnp.argsort(~occ, axis=1, stable=True).astype(jnp.int32)
+    t = jnp.arange(nk, dtype=jnp.int32)[None, :]
+    clamp = jnp.minimum(t, jnp.maximum(kcnt - 1, 0)[:, None])
+    kidx = jnp.take_along_axis(order, clamp, axis=1)
+    return TileMap(kidx=kidx, kcnt=kcnt, tile_m=tile_m, tile_k=tile_k)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel SWAR unpack / repack
+# ---------------------------------------------------------------------------
+
+
+def _i32_to_i8(x, interpret: bool):
+    """int32 (m, n) -> int8 (4m, n); row 4i+k = byte k of word i."""
+    if not interpret:
+        return pltpu.bitcast(x, jnp.int8)
+    m, n = x.shape
+    b = jax.lax.bitcast_convert_type(x, jnp.int8)  # (m, n, 4)
+    return jnp.transpose(b, (0, 2, 1)).reshape(4 * m, n)
+
+
+def _i8_to_i32(x, interpret: bool):
+    """int8 (4m, n) -> int32 (m, n), inverse of :func:`_i32_to_i8`."""
+    if not interpret:
+        return pltpu.bitcast(x, jnp.int32)
+    m4, n = x.shape
+    b = jnp.transpose(x.reshape(m4 // 4, 4, n), (0, 2, 1))
+    return jax.lax.bitcast_convert_type(b, jnp.int32)
+
+
+def _extract_groups(w, f: int, interpret: bool):
+    """int32 word rows (mw, tk) -> int8 (mw * (32//f), tk) in logical
+    row order (per-256-row-group extraction + sublane concat)."""
+    P = 8 // f
+    rpw = 32 // f
+    gw = PACK_GROUP // rpw
+    mw, tk = w.shape
+    mask = _MASKS[f]
+    out = []
+    for gi in range(mw // gw):
+        wg = w[gi * gw:(gi + 1) * gw, :]
+        slabs = []
+        for qf in range(P):
+            e = (wg >> (f * qf)) & mask if qf else (wg & mask)
+            slabs.append(_i32_to_i8(e, interpret))
+        out.append(jnp.concatenate(slabs, axis=0) if P > 1 else slabs[0])
+    return jnp.concatenate(out, axis=0) if len(out) > 1 else out[0]
+
+
+def _pack_groups(r8, f: int, interpret: bool):
+    """int8 (tm, tn) field values -> int32 (tm // (32//f), tn) words,
+    inverse of :func:`_extract_groups`."""
+    P = 8 // f
+    rpw = 32 // f
+    gw = PACK_GROUP // rpw
+    tm, tn = r8.shape
+    out = []
+    for gi in range(tm // PACK_GROUP):
+        rg = r8[gi * PACK_GROUP:(gi + 1) * PACK_GROUP, :]
+        word = None
+        for qf in range(P):
+            e = _i8_to_i32(rg[qf * (4 * gw):(qf + 1) * (4 * gw), :], interpret)
+            e = e << (f * qf) if qf else e
+            word = e if word is None else word | e
+        out.append(word)
+    return jnp.concatenate(out, axis=0) if len(out) > 1 else out[0]
+
+
+# ---------------------------------------------------------------------------
+# GEMM
+# ---------------------------------------------------------------------------
+
+_DOT = (((1,), (0,)), ((), ()))
+
+
+def _requant(acc, out_bits: int, shift: int):
+    ub = 1 << out_bits
+    if shift:
+        acc = acc >> shift
+    r = jnp.where(acc > ub, ub - 1, jnp.where(acc < 0, 1, acc))
+    return r & (ub - 1)
+
+
+def _packmm(
+    a: PackedTensor,
+    b: DigitTensor,
+    out_bits: Optional[int],
+    out_form: str,
+    tile_map: Optional[TileMap],
+    interpret: Optional[bool],
+    tiles: Optional[tuple],
+    shift: int,
+):
+    interpret = _interpret_default() if interpret is None else interpret
+    M, Ka = a.shape
+    Kb, N = b.shape
+    if Ka != Kb:
+        raise ValueError(f"contraction mismatch: {a.shape} @ {b.shape}")
+    f = field_width(a.bits)
+    rpw = 32 // f
+    nd_a, mw, kp = a.words.shape
+    nd_b, kp_b, np_ = b.digits.shape
+    mp = mw * rpw
+    if kp != kp_b:
+        raise ValueError(f"padded K mismatch: lhs {kp} vs rhs {kp_b}")
+    # int32 accumulator bound (see digitmm.py): worst-case shifted
+    # digit products must stay below 2^31 for exactness.
+    worst = sum(
+        225 * (1 << (DIGIT_BITS * (d + e)))
+        for d in range(nd_a)
+        for e in range(nd_b)
+    )
+    if worst * kp >= (1 << 31):
+        raise ValueError(
+            f"padded K={kp} at {nd_a}x{nd_b} digit planes can "
+            "overflow the int32 accumulator; split the contraction"
+        )
+
+    if tiles is not None:
+        tm, tk, tn = tiles
+    elif tile_map is not None:
+        tm, tk = tile_map.tile_m, tile_map.tile_k
+        tn = 256 if np_ % 256 == 0 else 128
+    else:
+        # Whole-M tiles when the VMEM budget allows: the unpacked
+        # per-digit a-tile (tm x tk int8) is the dominant transient
+        # (measured best at M=K=4096 1-bit: tm=tk=4096, 42 TFLOPs).
+        # The 16M allowance is empirically at the scoped-VMEM edge and
+        # only proven for single-digit A with 128-lane outputs;
+        # multi-digit operands and wider N tiles carry bigger
+        # word/B/acc blocks and get a conservative allowance (16M
+        # tips the 16 MB scoped limit at 8-bit M=K=4096 and at
+        # 1-bit N=256).
+        tn = 256 if np_ % 256 == 0 else 128
+        budget = (16 << 20) if (nd_a == 1 and tn <= 128) else (10 << 20)
+        tm = mp
+        while (
+            tm > PACK_GROUP
+            and nd_a * tm * min(kp, 4096) > budget
+            and tm % 2 == 0
+            and (tm // 2) % PACK_GROUP == 0
+            and mp % (tm // 2) == 0
+        ):
+            tm //= 2
+        tk = kp
+        while (
+            tk > 512
+            and nd_a * tm * tk > budget
+            and tk % 2 == 0
+            and (tk // 2) % 128 == 0
+            and kp % (tk // 2) == 0
+        ):
+            tk //= 2
+    if mp % tm or kp % tk or np_ % tn or tm % PACK_GROUP:
+        raise ValueError(
+            f"tiles {(tm, tk, tn)} do not divide padded dims "
+            f"{(mp, kp, np_)} (tm must be a multiple of {PACK_GROUP})"
+        )
+    if tile_map is not None and (tile_map.tile_m, tile_map.tile_k) != (tm, tk):
+        raise ValueError(
+            f"tile_map built for {(tile_map.tile_m, tile_map.tile_k)}, "
+            f"kernel uses {(tm, tk)}"
+        )
+    nm, nn, nk = mp // tm, np_ // tn, kp // tk
+    tmw = tm // rpw
+
+    # B stays fully VMEM-resident (loaded once) when small enough;
+    # otherwise it streams per K-tile. The sparse path requires the
+    # resident form (K-tile selection happens via dynamic slice).
+    b_resident = nd_b * kp * tn <= (4 << 20) or tile_map is not None
+    if tile_map is not None:
+        kidx, kcnt = tile_map.kidx, tile_map.kcnt
+    else:
+        kidx = jnp.broadcast_to(jnp.arange(nk, dtype=jnp.int32), (nm, nk))
+        kcnt = jnp.full((nm,), nk, jnp.int32)
+    sparse = tile_map is not None
+
+    if out_bits is None:
+        nd_o, f_o, rpw_o = 0, 0, 0
+    else:
+        nd_o = num_digits(out_bits)
+        f_o = field_width(out_bits)
+        rpw_o = 32 // f_o
+
+    def kernel(kidx_ref, kcnt_ref, a_ref, b_ref, o_ref, acc_ref):
+        i = pl.program_id(0)
+        t = pl.program_id(2)
+
+        @pl.when(t == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        def compute():
+            if b_resident:
+                koff = kidx_ref[i, t] * tk if sparse else t * tk
+                b_digits = [
+                    b_ref[e, pl.ds(koff, tk), :] for e in range(nd_b)
+                ]
+            else:
+                b_digits = [b_ref[e] for e in range(nd_b)]
+            acc = acc_ref[:]
+            for d in range(nd_a):
+                a_tile = _extract_groups(a_ref[d], f, interpret)
+                for e, bd in enumerate(b_digits):
+                    part = jax.lax.dot_general(
+                        a_tile, bd, _DOT, preferred_element_type=jnp.int32
+                    )
+                    dig_shift = DIGIT_BITS * (d + e)
+                    acc = acc + (part << dig_shift if dig_shift else part)
+            acc_ref[:] = acc
+
+        if sparse:
+            @pl.when(t < kcnt_ref[i])
+            def _guarded():
+                compute()
+        else:
+            compute()
+
+        @pl.when(t == nk - 1)
+        def _epilogue():
+            acc = acc_ref[:]
+            if out_bits is None:
+                o_ref[:] = acc.astype(jnp.float32)
+                return
+            r = _requant(acc, out_bits, shift)
+            if out_form == "digits":
+                for d in range(nd_o):
+                    width = min(DIGIT_BITS, out_bits - d * DIGIT_BITS)
+                    o_ref[d] = (
+                        (r >> (d * DIGIT_BITS)) & ((1 << width) - 1)
+                    ).astype(jnp.int8)
+            else:  # packed
+                for d in range(nd_o):
+                    width = min(DIGIT_BITS, out_bits - d * DIGIT_BITS)
+                    dig = (
+                        (r >> (d * DIGIT_BITS)) & ((1 << width) - 1)
+                    ).astype(jnp.int8)
+                    o_ref[d] = _pack_groups(dig, f_o, interpret)
+
+    def a_map(i, j, t, kidx_ref, kcnt_ref):
+        return (0, i, kidx_ref[i, t])
+
+    if b_resident:
+        b_spec = pl.BlockSpec(
+            (nd_b, kp, tn), lambda i, j, t, *_: (0, 0, j),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        b_spec = pl.BlockSpec(
+            (nd_b, tk, tn),
+            lambda i, j, t, kidx_ref, kcnt_ref: (0, kidx_ref[i, t], j),
+            memory_space=pltpu.VMEM,
+        )
+
+    if out_bits is None:
+        out_shape = jax.ShapeDtypeStruct((mp, np_), jnp.float32)
+        out_spec = pl.BlockSpec(
+            (tm, tn), lambda i, j, t, *_: (i, j), memory_space=pltpu.VMEM
+        )
+    elif out_form == "digits":
+        out_shape = jax.ShapeDtypeStruct((nd_o, mp, np_), jnp.int8)
+        out_spec = pl.BlockSpec(
+            (nd_o, tm, tn), lambda i, j, t, *_: (0, i, j),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        out_shape = jax.ShapeDtypeStruct((nd_o, mp // rpw_o, np_), jnp.int32)
+        out_spec = pl.BlockSpec(
+            (nd_o, tm // rpw_o, tn), lambda i, j, t, *_: (0, i, j),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nm, nn, nk),
+        in_specs=[
+            pl.BlockSpec((nd_a, tmw, tk), a_map, memory_space=pltpu.VMEM),
+            b_spec,
+        ],
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
+    )
+
+    cost = pl.CostEstimate(
+        flops=2 * mp * np_ * kp * nd_a * nd_b,
+        bytes_accessed=a.words.size * 4 + b.digits.size,
+        transcendentals=0,
+    )
+
+    run = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )
+    out = run(kidx, kcnt, a.words, b.digits)
+
+    if out_bits is None:
+        return out[:M, :N]
+    if out_form == "digits":
+        return DigitTensor(digits=out, shape=(M, N), bits=out_bits)
+    return PackedTensor(words=out, shape=(M, N), bits=out_bits)
+
+
+def packmm_to_f32(
+    a: PackedTensor,
+    b: DigitTensor,
+    tile_map: Optional[TileMap] = None,
+    interpret: Optional[bool] = None,
+    tiles: Optional[tuple] = None,
+) -> jnp.ndarray:
+    """Packed-A GEMM, float32 output (``bitMM2Int`` role,
+    ``kernel.h:816-1054``)."""
+    return _packmm(a, b, None, "f32", tile_map, interpret, tiles, 0)
+
+
+def packmm_to_digits(
+    a: PackedTensor,
+    b: DigitTensor,
+    out_bits: int,
+    tile_map: Optional[TileMap] = None,
+    interpret: Optional[bool] = None,
+    tiles: Optional[tuple] = None,
+    shift: int = 0,
+) -> DigitTensor:
+    """Packed-A GEMM, digit-plane output (``bitMM2Bit`` role with the
+    fused requant epilogue, ``kernel.h:347-389``)."""
+    return _packmm(a, b, out_bits, "digits", tile_map, interpret, tiles, shift)
+
+
+def packmm_to_packed(
+    a: PackedTensor,
+    b: DigitTensor,
+    out_bits: int,
+    tile_map: Optional[TileMap] = None,
+    interpret: Optional[bool] = None,
+    tiles: Optional[tuple] = None,
+    shift: int = 0,
+) -> PackedTensor:
+    """Packed-A GEMM, M-packed output — bit in, bit out, the exact
+    shape of the reference's ``bitMM2Bit_profile`` benchmark op
+    (``QGTC_device.cu:379-434``): requant + in-kernel repack."""
+    return _packmm(a, b, out_bits, "packed", tile_map, interpret, tiles, shift)
