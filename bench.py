@@ -71,6 +71,17 @@ def main() -> int:
         mode = "step-fallback"
         stats = eng.run_epochs(batcher, n_epochs=n_epochs, resident=True)
     value = stats.avg_ms
+    # Transfer-inclusive number: per-step host->device transfer of the
+    # packed batches inside the timed region — the reference's exact
+    # boundary (``cluster.cuda()`` inside the epoch loop,
+    # main_qgtc.py:115). The headline above is HBM-resident
+    # compute-only, the idiomatic TPU serving configuration; both are
+    # reported so neither methodology is overstated. Note the host
+    # link here is a network tunnel, not PCIe, so the transfer-
+    # inclusive number carries tunnel RTT the reference does not pay.
+    step_stats = eng.run_epochs(
+        batcher, n_epochs=max(n_epochs // 2, 2), resident=False
+    )
     print(
         json.dumps(
             {
@@ -84,7 +95,12 @@ def main() -> int:
                     "batches_per_epoch": stats.n_batches,
                     "zerotile_jump": zerotile,
                     "mode": mode,
-                    "resident": True,
+                    "timing": "HBM-resident, compute-only (packed "
+                              "batches staged before the timed region)",
+                    "transfer_inclusive_ms": round(step_stats.avg_ms, 3),
+                    "transfer_inclusive_vs_baseline": round(
+                        BASELINE_MS / step_stats.avg_ms, 3
+                    ),
                 },
             }
         )

@@ -34,19 +34,13 @@ def main() -> int:
     p.add_argument("--bit_width", type=int, default=2)
     p.add_argument("--n-epochs", type=int, default=6)
     p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--modes", nargs="+", default=["fused", "mega"],
+                   help="engine modes to time dense-vs-zerotile")
     p.add_argument("--csv", type=str, default=None)
     args = p.parse_args()
 
-    import jax.numpy as jnp
-
     from qgtc_ppopp22_tpu.graph import ClusterBatcher, load_dataset
-    from qgtc_ppopp22_tpu.ops.bitpack import unpack_bits
-    from qgtc_ppopp22_tpu.ops.digitmm import (
-        digit_lhs_tiles,
-        zero_tile_stats_digits,
-    )
-    from qgtc_ppopp22_tpu.ops.digits import digit_pack
-    from qgtc_ppopp22_tpu.runtime import QGTCEngine
+    from qgtc_ppopp22_tpu.runtime import QGTCEngine, mega_chunk_occ
 
     rows = []
     for name in args.datasets:
@@ -58,39 +52,57 @@ def main() -> int:
             bit_width=args.bit_width,
             cache_dir="./datasets",
         )
+        # Tile counters come from the pack-time occupancy schedules
+        # (256x256 tiles, reference counter-kernel role) — no device
+        # work at all.
         total = processed = 0
+        chunks_total = chunks_occ = 0
         for b in it.batches:
-            a = digit_pack(
-                jnp.asarray(np.asarray(unpack_bits(b.bit_A))), 1
-            )
-            st = zero_tile_stats_digits(a)
-            total += st["total"]
-            processed += st["processed"]
-        tiles = digit_lhs_tiles(a)
+            total += int(b.tile_kidx.size)
+            processed += int(np.sum(b.tile_kcnt))
+            pn = b.padded_nodes
+            chunk = 512 if pn % 512 == 0 else 256
+            occ = mega_chunk_occ(b.a_words, chunk)
+            chunks_total += occ.size
+            chunks_occ += int(occ.sum())
 
-        times = {}
-        for zt in (False, True):
-            eng = QGTCEngine(
-                feat_dim=it.feat_dim,
-                num_classes=ds.num_classes,
-                bit_width=args.bit_width,
-                zerotile_jump=zt,
-            )
-            st = eng.run_epochs(it, n_epochs=args.n_epochs, resident=True)
-            times["zerotile" if zt else "dense"] = st.avg_ms
+        for mode in args.modes:
+            times = {}
+            for zt in (False, True):
+                eng = QGTCEngine(
+                    feat_dim=it.feat_dim,
+                    num_classes=ds.num_classes,
+                    bit_width=args.bit_width,
+                    zerotile_jump=zt,
+                )
+                if mode == "mega":
+                    st = eng.run_epochs_mega(it, n_epochs=args.n_epochs)
+                elif mode == "fused":
+                    st = eng.run_epochs_fused(it, n_epochs=args.n_epochs)
+                else:
+                    st = eng.run_epochs(
+                        it, n_epochs=args.n_epochs, resident=True
+                    )
+                times["zerotile" if zt else "dense"] = st.avg_ms
 
-        row = dict(
-            dataset=name,
-            tile=f"{tiles[0]}x{tiles[1]}",
-            tiles_total=total,
-            tiles_processed=processed,
-            jump_ratio=round(1 - processed / max(total, 1), 4),
-            dense_ms=round(times["dense"], 2),
-            zerotile_ms=round(times["zerotile"], 2),
-            speedup=round(times["dense"] / max(times["zerotile"], 1e-9), 3),
-        )
-        rows.append(row)
-        print(row, flush=True)
+            row = dict(
+                dataset=name,
+                mode=mode,
+                tile="256x256",
+                tiles_total=total,
+                tiles_processed=processed,
+                jump_ratio=round(1 - processed / max(total, 1), 4),
+                chunk_jump_ratio=round(
+                    1 - chunks_occ / max(chunks_total, 1), 4
+                ),
+                dense_ms=round(times["dense"], 2),
+                zerotile_ms=round(times["zerotile"], 2),
+                speedup=round(
+                    times["dense"] / max(times["zerotile"], 1e-9), 3
+                ),
+            )
+            rows.append(row)
+            print(row, flush=True)
 
     if args.csv and rows:
         from qgtc_ppopp22_tpu.utils.metrics import write_csv

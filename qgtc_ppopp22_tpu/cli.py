@@ -107,50 +107,62 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     if args.sparse:
-        import jax.numpy as jnp
+        from qgtc_ppopp22_tpu.runtime import SparseEngine
 
-        from qgtc_ppopp22_tpu.graph.batching import quantize_np
-        from qgtc_ppopp22_tpu.models.qmodels import (
-            QModelConfig,
-            init_weights,
-        )
-        from qgtc_ppopp22_tpu.models.sparse import sparse_q_forward
-        from qgtc_ppopp22_tpu.runtime import EpochStats, _sync, _timed_epochs
-
+        for flag, name in (
+            (args.zerotile_jump, "--zerotile_jump"),
+            (args.use_pp, "--use-pp"),
+            (args.regular, "--regular"),
+            (args.resident, "--resident"),
+            (args.mode != "step", "--mode"),
+        ):
+            if flag:
+                print(
+                    f"warning: {name} has no effect with --sparse "
+                    "(full-graph CSR engine)", file=sys.stderr
+                )
         model = "gin" if args.run_GIN else "gcn"
-        hidden = args.hidden or (16 if model == "gcn" else 64)
-        cfg = QModelConfig(
-            ds.feat_dim, hidden, ds.num_classes,
-            bit_width=args.bit_width, num_layers=args.num_layers,
+        bit_width, hidden, num_layers = (
+            args.bit_width, args.hidden, args.num_layers
         )
-        ws = init_weights(jax.random.PRNGKey(args.rnd_seed), cfg)
-        qws = [
-            jnp.asarray(quantize_np(np.asarray(w), args.bit_width))
-            for w in ws
-        ]
-        indptr = jax.device_put(jnp.asarray(ds.graph.indptr))
-        indices = jax.device_put(jnp.asarray(ds.graph.indices))
-        qx = jax.device_put(
-            jnp.asarray(quantize_np(ds.features, args.bit_width))
-        )
-        bw, mn = args.bit_width, model
-        fwd = jax.jit(
-            lambda ip, ix, x, w: sparse_q_forward(
-                ip, ix, x, w, out_bits=bw, model=mn
+        shifts = float_ws = None
+        if args.weights:
+            from qgtc_ppopp22_tpu.models.train import load_checkpoint
+
+            float_ws, shifts, ck_cfg, model = load_checkpoint(args.weights)
+            bit_width, hidden, num_layers = (
+                ck_cfg.bit_width, ck_cfg.hidden, ck_cfg.num_layers
             )
+            print(
+                f"loaded checkpoint: {model}, {bit_width}-bit, "
+                f"hidden={hidden}, layers={num_layers}, shifts={shifts}"
+            )
+        eng = SparseEngine(
+            ds, model=model, bit_width=bit_width, hidden=hidden,
+            num_layers=num_layers, seed=args.rnd_seed, shifts=shifts,
+            float_weights=float_ws,
         )
-        _sync(fwd(indptr, indices, qx, qws))
-        stats = _timed_epochs(
-            lambda: fwd(indptr, indices, qx, qws),
-            args.n_epochs, 1, args.sync_every_epoch,
+        stats = eng.run_epochs(
+            args.n_epochs, sync_every_epoch=args.sync_every_epoch
         )
         record = dict(
             dataset=ds.name,
-            bit_width=args.bit_width,
+            bit_width=bit_width,
             model=model,
             engine="sparse-full-graph",
             n_epochs=args.n_epochs,
         )
+        if args.eval_accuracy:
+            acc = eng.evaluate(ds.labels)
+            record["accuracy"] = acc
+            print(f"accuracy: {acc:.4f}")
+            if ds.multilabels is not None:
+                f1 = eng.evaluate_f1(ds.multilabels)
+                record.update(f1)
+                print(
+                    f"F1-mic: {f1['f1_micro']:.4f}, "
+                    f"F1-mac: {f1['f1_macro']:.4f}"
+                )
         print(f"Avg. Epoch: {stats.avg_ms:.3f} ms")
         record["avg_epoch_ms"] = stats.avg_ms
         record["epoch_ms"] = stats.epoch_ms
@@ -203,7 +215,23 @@ def main(argv=None) -> int:
             num_layers=args.num_layers,
             seed=args.rnd_seed,
         )
-        stats = eng.run_epochs(batcher, ds, n_epochs=args.n_epochs)
+        if args.mode == "mega":
+            stats = eng.run_epochs_mega(batcher, ds, n_epochs=args.n_epochs)
+        elif args.mode == "fused":
+            stats = eng.run_epochs_fused(batcher, ds, n_epochs=args.n_epochs)
+        else:
+            stats = eng.run_epochs(batcher, ds, n_epochs=args.n_epochs)
+        if args.eval_accuracy:
+            acc = eng.evaluate(batcher, ds, ds.labels)
+            record["accuracy"] = acc
+            print(f"accuracy: {acc:.4f}")
+            if ds.multilabels is not None:
+                f1 = eng.evaluate_f1(batcher, ds, ds.multilabels)
+                record.update(f1)
+                print(
+                    f"F1-mic: {f1['f1_micro']:.4f}, "
+                    f"F1-mac: {f1['f1_macro']:.4f}"
+                )
     else:
         shifts = None
         model_name = "gin" if args.run_GIN else "gcn"
@@ -271,22 +299,13 @@ def main(argv=None) -> int:
             prof.__exit__(None, None, None)
         if args.zerotile_jump:
             # Aggregate tile counters (reference print_counter role,
-            # kernel.h:17-28 / parse_counter.py)
-            from qgtc_ppopp22_tpu.ops.digitmm import build_tile_map_digits
-            from qgtc_ppopp22_tpu.ops.digits import to_digit_tensor
-
-            # jitted per bucket shape: the eager per-op path costs
-            # seconds per batch over the dispatch tunnel
-            @jax.jit
-            def _counts(bit_a):
-                tm = build_tile_map_digits(to_digit_tensor(bit_a))
-                return jax.numpy.sum(tm.kcnt), tm.kidx.size
-
+            # kernel.h:17-28 / parse_counter.py). The occupancy maps
+            # are built at pack time and shipped with each batch, so
+            # counting is a host-side sum.
             total = processed = 0
             for b in batcher.batches:
-                proc, tot = _counts(jax.device_put(b.bit_A))
-                total += int(tot)
-                processed += int(proc)
+                total += int(b.tile_kidx.size)
+                processed += int(np.sum(b.tile_kcnt))
             record["tiles_total"] = total
             record["tiles_processed"] = processed
             print(
@@ -313,6 +332,13 @@ def main(argv=None) -> int:
             acc = eng.evaluate(batcher, ds.labels)
             record["accuracy"] = acc
             print(f"accuracy: {acc:.4f}")
+            if ds.multilabels is not None:
+                f1 = eng.evaluate_f1(batcher, ds.multilabels)
+                record.update(f1)
+                print(
+                    f"F1-mic: {f1['f1_micro']:.4f}, "
+                    f"F1-mac: {f1['f1_macro']:.4f}"
+                )
 
     # Reference print format (main_qgtc.py:157-159).
     print(f"Avg. Epoch: {stats.avg_ms:.3f} ms")

@@ -62,7 +62,14 @@ class ClusterBatch:
     ``num_nodes`` is the real (unpadded) node count; ``padded_nodes``
     the bucket size both A and X rows were padded to. ``bit_A`` is
     (padded_nodes, padded_nodes) 1-bit; ``bit_X`` is
-    (padded_nodes, feat_dim) ``bit_width``-bit.
+    (padded_nodes, feat_dim) ``bit_width``-bit. ``a_words`` is the
+    adjacency in the M-packed word layout the packed-consuming GEMM
+    eats directly (``ops/packmm.pack_rows_np``, int32[pn//32, pn]) —
+    same byte count as ``bit_A``, different row permutation.
+    ``tile_kidx``/``tile_kcnt`` is the zero-tile occupancy schedule
+    over ``a_words``'s (256 x 256) tiles, built once at pack time
+    (reference Fig. 8b mechanism, ``kernel.h:572-592``; building it
+    per step on device was the round-1 zero-tile regression).
     """
 
     nodes: np.ndarray  # int64[num_nodes] global node ids
@@ -70,6 +77,9 @@ class ClusterBatch:
     bit_X: BitTensor
     num_nodes: int
     padded_nodes: int
+    a_words: Optional[np.ndarray] = None
+    tile_kidx: Optional[np.ndarray] = None  # int32[nm, nk]
+    tile_kcnt: Optional[np.ndarray] = None  # int32[nm]
 
     def nbytes(self) -> int:
         return self.bit_A.nbytes() + self.bit_X.nbytes()
@@ -98,16 +108,27 @@ class ClusterBatcher:
         partition_method: str = "auto",
         cache_dir: Optional[str] = None,
         shuffle: bool = True,
+        feature_scale: float = 1.0,
     ):
         self.dataset = dataset
         self.psize = psize
         self.batch_size = batch_size
         self.bit_width = bit_width
         self.bucket_rows = bucket_rows
+        self.feature_scale = feature_scale
         self._rng = random.Random(seed)
 
         g = dataset.graph
         feats = dataset.features
+        if feature_scale != 1.0:
+            # Host-side input preprocessing: scale features BEFORE the
+            # reference quantizer (clip to [0, 2^bits] + round,
+            # kernel.h:31-71) so wide bit widths actually use their
+            # level range — raw N(0,1)-ish features occupy only the
+            # bottom ~4 levels of an 8-bit grid otherwise. The engine
+            # semantics are unchanged (the scale is data prep, like
+            # normalization).
+            feats = feats * np.float32(feature_scale)
         if precalc:
             deg = g.degrees().astype(np.float32)
             norm = np.where(deg > 0, 1.0 / np.maximum(deg, 1), 0.0)
@@ -175,12 +196,22 @@ class ClusterBatcher:
             bit_x = pack_bits_np(
                 quantize_np(x, self.bit_width), self.bit_width
             )
+        from qgtc_ppopp22_tpu.ops.packmm import (
+            build_tile_map_packed_np,
+            pack_rows_np,
+        )
+
+        a_words = pack_rows_np(np.asarray(dense_a, np.int32), 1)
+        kidx, kcnt = build_tile_map_packed_np(a_words, 1)
         return ClusterBatch(
             nodes=nodes,
             bit_A=bit_a,
             bit_X=bit_x,
             num_nodes=n,
             padded_nodes=pn,
+            a_words=a_words,
+            tile_kidx=kidx,
+            tile_kcnt=kcnt,
         )
 
     def buckets(self) -> List[int]:

@@ -41,10 +41,19 @@ from qgtc_ppopp22_tpu.ops.bitgemm import TileMap, bitmm_to_bits, bitmm_to_int
 from qgtc_ppopp22_tpu.ops.bitpack import BitTensor, val2bit
 from qgtc_ppopp22_tpu.ops.digits import DigitTensor
 from qgtc_ppopp22_tpu.ops.digitmm import digitmm_to_digits, digitmm_to_f32
+from qgtc_ppopp22_tpu.ops.packmm import (
+    PackedTensor,
+    packmm_to_digits,
+    packmm_to_f32,
+)
 
 
 def _mm_to_bits(a, b, out_bits, tile_map=None, interpret=None, shift=0):
-    """Container-dispatching bit-GEMM (packed or digit working format)."""
+    """Container-dispatching bit-GEMM (packed-word, digit, or
+    plane-packed working format)."""
+    if isinstance(a, PackedTensor):
+        return packmm_to_digits(a, b, out_bits, tile_map=tile_map,
+                                interpret=interpret, shift=shift)
     if isinstance(a, DigitTensor):
         return digitmm_to_digits(a, b, out_bits, tile_map=tile_map,
                                  interpret=interpret, shift=shift)
@@ -58,6 +67,8 @@ def _mm_to_bits(a, b, out_bits, tile_map=None, interpret=None, shift=0):
 
 
 def _mm_to_f32(a, b, tile_map=None, interpret=None):
+    if isinstance(a, PackedTensor):
+        return packmm_to_f32(a, b, tile_map=tile_map, interpret=interpret)
     if isinstance(a, DigitTensor):
         return digitmm_to_f32(a, b, tile_map=tile_map, interpret=interpret)
     return bitmm_to_int(a, b, tile_map=tile_map, interpret=interpret)

@@ -18,9 +18,14 @@ Dataflows (SURVEY §3, ``main_qgtc.py:127-154``):
   GCN: XW1 -> A(.) -> (.)W2 -> A(.) -> (.)W3 -> A(.) [f32 out]
   GIN: AX -> (.)W1 -> A(.) -> (.)W2 -> A(.) -> (.)W3 [f32 out]
 
-Operands are int8 digit planes (adjacency is 1-bit = one digit, by
-reference convention ``main_qgtc.py:104``); hidden levels are carried
-as base-16 digit lists, the digit algebra of ``ops/digitmm.py``.
+The adjacency arrives **bit-packed along M** (the
+:class:`~qgtc_ppopp22_tpu.ops.packmm.PackedTensor` word layout,
+``32 rows/word``): 8x less HBM traffic and 8x less VMEM than int8
+levels, unpacked per row-chunk with SWAR ops the MXU passes hide
+completely (see ``ops/packmm.py``). This raises the resident-A bucket
+ceiling from pn<=2560 to pn<=7168 and makes streaming mode pay 1/8th
+of the round-1 bandwidth. Hidden levels are carried as base-16 digit
+lists, the digit algebra of ``ops/digitmm.py``.
 """
 
 from __future__ import annotations
@@ -34,11 +39,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from qgtc_ppopp22_tpu.ops.bitpack import DIGIT_BITS, num_digits
 from qgtc_ppopp22_tpu.ops.digits import DigitTensor
+from qgtc_ppopp22_tpu.ops.packmm import _extract_groups
 
-__all__ = ["fused_model_epoch"]
+__all__ = ["fused_model_epoch", "fused_baseline_epoch"]
 
 _DOT = (((1,), (0,)), ((), ()))
 _CHUNK = 512  # adjacency rows per DMA chunk (2 buffers resident)
+_RPW = 32  # adjacency rows per packed word (1-bit, field width 1)
 
 
 def _interpret_default() -> bool:
@@ -77,7 +84,7 @@ def _requant_digits(acc, out_bits: int, shift: int = 0) -> List[jnp.ndarray]:
 
 
 def fused_model_epoch(
-    a_stack: jax.Array,  # int8[B, pn, pn] 1-bit adjacency levels
+    a_stack: jax.Array,  # int32[B, pn//32, pn] M-packed 1-bit adjacency
     x_stack: jax.Array,  # int8[B, nd_x, pn, xp] feature digits
     ws: Sequence[DigitTensor],  # weights, digit planes (replicated)
     out_bits: int,
@@ -85,29 +92,42 @@ def fused_model_epoch(
     interpret: Optional[bool] = None,
     shifts: Optional[Sequence[int]] = None,
     resident_a: Optional[bool] = None,
+    chunk_occ: Optional[jax.Array] = None,  # int32[B, pn//chunk]
 ) -> jax.Array:
     """Run the full model over every stacked batch in ONE pallas call.
 
-    Returns float32 logits [B, pn, cls_padded]. ``shifts``: optional
-    per-GEMM power-of-two requant scales, ordered as in
-    ``qgcn_forward``/``qgin_forward`` (None = reference semantics).
-    ``resident_a`` selects the adjacency strategy: True keeps the
-    whole A in VMEM across the layer stack (one HBM crossing per
-    batch; needs pn^2 of VMEM), False streams A through a two-chunk
-    double buffer on every aggregation (one crossing per aggregation;
-    fits any pn). None picks resident when the VMEM budget allows.
+    ``a_stack`` is the M-packed word form of each batch adjacency
+    (``packmm.pack_rows`` layout, 1-bit). Returns float32 logits
+    [B, pn, cls_padded]. ``shifts``: optional per-GEMM power-of-two
+    requant scales, ordered as in ``qgcn_forward``/``qgin_forward``
+    (None = reference semantics). ``resident_a`` selects the adjacency
+    strategy: True keeps the packed A in VMEM across the layer stack
+    (one HBM crossing per batch; needs pn^2/8 of VMEM), False streams
+    A through a two-chunk double buffer on every aggregation (one
+    crossing per aggregation; fits any pn). None picks resident when
+    the VMEM budget allows.
+
+    ``chunk_occ`` enables zero-tile jumping at row-chunk granularity
+    (the reference's Fig. 8b mechanism, ``kernel.h:572-592``, applied
+    at the mega kernel's natural tile size): chunks flagged 0 skip
+    the MXU pass — and, in resident mode, the DMA too — and their
+    output rows are written as zeros (exact: all-zero adjacency rows
+    aggregate nothing). Build it host-side at pack time
+    (``runtime.mega_chunk_occ``).
     """
-    B, pn, pn2 = a_stack.shape
+    B, pnw, pn = a_stack.shape
     _, nd_x, pnx, xp = x_stack.shape
-    if pn != pn2 or pn != pnx:
+    if pnw * _RPW != pn or pn != pnx:
         raise ValueError(f"bad stacked shapes {a_stack.shape} {x_stack.shape}")
     if model not in ("gcn", "gin"):
         raise ValueError(model)
-    # Static VMEM budget: resident A (pn^2 int8) + double-buffered x
-    # block + int32 accumulator + double-buffered f32 output + weights
-    # must fit the ~16 MB core VMEM with headroom for Mosaic
-    # transients. Callers fall back to the scan engine when this
-    # raises.
+    interpret = _interpret_default() if interpret is None else interpret
+    # Static VMEM budget: resident packed A (pn^2/8 words) + double-
+    # buffered x block + int32 accumulator + double-buffered f32 output
+    # + weights must fit the ~16 MB core VMEM with headroom for Mosaic
+    # transients (incl. the per-chunk unpacked a-tile). Callers fall
+    # back to the scan engine when this raises.
+    a_res_bytes = pnw * pn * 4  # = pn*pn/8
     cp_est = ws[-1].digits.shape[2]
     hid_est = max(
         [w.digits.shape[2] for w in ws[:-1]] + [xp, cp_est]
@@ -117,29 +137,32 @@ def fused_model_epoch(
         + 4 * pn * hid_est
         + 2 * 4 * pn * cp_est
         + 2 * sum(w.digits.size for w in ws)
+        + _CHUNK * pn  # unpacked per-chunk a-tile transient
         + (2 << 20)
     )
     if resident_a is None:
-        resident_a = fixed + pn * pn <= (15 << 20)
-    need = fixed + (pn * pn if resident_a else 0)
+        resident_a = fixed + a_res_bytes <= (15 << 20)
+    need = fixed + (a_res_bytes if resident_a else 0)
     if need > (15 << 20):
         raise ValueError(
             f"bucket pn={pn} (x digits={nd_x}) needs ~{need >> 20} MB "
             "VMEM even for the streaming kernel; use the scan engine"
         )
     chunk = next(
-        (c for c in (512, 256, 128) if c <= pn and pn % c == 0), None
+        (c for c in (512, 256) if c <= pn and pn % c == 0), None
     )
     if chunk is None:
         raise ValueError(
-            f"pn={pn} has no chunk divisor in (512, 256, 128)"
+            f"pn={pn} has no chunk divisor in (512, 256); packed "
+            "adjacency rows come in 256-row groups"
         )
+    chw = chunk // _RPW  # word rows per chunk
     nch = pn // chunk
     n_layers = len(ws)
     cp = ws[-1].digits.shape[2]
     sh = list(shifts) if shifts is not None else [0] * (2 * n_layers - 1)
 
-    def kernel(x_ref, *rest):
+    def kernel(occ_ref, x_ref, *rest):
         ws_refs = rest[:n_layers]
         a_hbm, o_ref, a_vmem, acc_ref, sem = rest[n_layers:]
         b = pl.program_id(0)
@@ -151,16 +174,17 @@ def fused_model_epoch(
         ]
 
         def copy(c, slot=None):
-            # chunk c of this batch's adjacency -> resident slice, or
-            # a 2-slot double buffer in streaming mode
+            # packed-word chunk c of this batch's adjacency ->
+            # resident slice, or a 2-slot double buffer in streaming
+            # mode (word rows: chunk/32 per chunk)
             if resident_a:
-                dst = a_vmem.at[pl.ds(c * chunk, chunk), :]
+                dst = a_vmem.at[pl.ds(c * chw, chw), :]
                 s_ = sem.at[c]
             else:
                 dst = a_vmem.at[slot]
                 s_ = sem.at[slot]
             return pltpu.make_async_copy(
-                a_hbm.at[b, pl.ds(c * chunk, chunk), :], dst, s_
+                a_hbm.at[b, pl.ds(c * chw, chw), :], dst, s_
             )
 
         def agg(h_digits, final: bool, shift: int = 0):
@@ -187,25 +211,64 @@ def fused_model_epoch(
                 else:
                     acc_ref[c * chunk : (c + 1) * chunk, 0:ncols] = part
 
+            def emit_zero(c):
+                # skipped (all-zero) adjacency row-chunk: the exact
+                # aggregation result is zero
+                if final:
+                    o_ref[0, c * chunk : (c + 1) * chunk, :] = jnp.zeros(
+                        (chunk, o_ref.shape[2]), jnp.float32
+                    )
+                else:
+                    acc_ref[c * chunk : (c + 1) * chunk, 0:ncols] = (
+                        jnp.zeros((chunk, ncols), jnp.int32)
+                    )
+
+            def guarded(c, compute_c):
+                occ_c = occ_ref[b, c] != 0
+
+                @pl.when(occ_c)
+                def _do():
+                    compute_c()
+
+                @pl.when(jnp.logical_not(occ_c))
+                def _skip():
+                    emit_zero(c)
+
             if resident_a:
                 first = not seen_a[0]
                 if first:
                     for c in range(nch):
-                        copy(c).start()
+                        @pl.when(occ_ref[b, c] != 0)
+                        def _start(c=c):
+                            copy(c).start()
                 for c in range(nch):
-                    if first:
-                        copy(c).wait()
-                    a_c = a_vmem[c * chunk : (c + 1) * chunk, :]
-                    emit(c, _digit_dot([a_c], h_digits))
+                    def compute_c(c=c, first=first):
+                        if first:
+                            copy(c).wait()
+                        a_c = _extract_groups(
+                            a_vmem[c * chw : (c + 1) * chw, :], 1,
+                            interpret,
+                        )
+                        emit(c, _digit_dot([a_c], h_digits))
+
+                    guarded(c, compute_c)
                 seen_a[0] = True
             else:
+                # streaming: the double-buffer DMA pipeline copies
+                # every chunk (slot parity must stay in lockstep); the
+                # skip elides the unpack + MXU pass
                 copy(0, 0).start()
                 for c in range(nch):
                     slot = c % 2
                     if c + 1 < nch:
                         copy(c + 1, (c + 1) % 2).start()
                     copy(c, slot).wait()
-                    emit(c, _digit_dot([a_vmem[slot]], h_digits))
+
+                    def compute_c(slot=slot):
+                        a_c = _extract_groups(a_vmem[slot], 1, interpret)
+                        emit(c, _digit_dot([a_c], h_digits))
+
+                    guarded(c, compute_c)
             if final:
                 return None
             return _requant_digits(acc_ref[:, 0:ncols], out_bits, shift)
@@ -236,20 +299,193 @@ def fused_model_epoch(
     hid_cols = max(w.digits.shape[2] for w in ws[:-1]) if n_layers > 1 else xp
     hid_cols = max(hid_cols, xp, cp)
 
+    if chunk_occ is None:
+        chunk_occ = jnp.ones((B, nch), jnp.int32)
+    elif chunk_occ.shape != (B, nch):
+        raise ValueError(
+            f"chunk_occ shape {chunk_occ.shape} != {(B, nch)}"
+        )
+
     in_specs = [
         pl.BlockSpec(
-            (1, nd_x, pn, xp), lambda b: (b, 0, 0, 0),
+            (1, nd_x, pn, xp), lambda b, occ: (b, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     ] + [
-        pl.BlockSpec(w.digits.shape, lambda b: (0, 0, 0),
+        pl.BlockSpec(w.digits.shape, lambda b, occ: (0, 0, 0),
                      memory_space=pltpu.VMEM)
         for w in ws
     ] + [
-        pl.BlockSpec(memory_space=pltpu.ANY),  # a_stack stays in HBM
+        pl.BlockSpec(memory_space=pl.ANY),  # a_stack stays in HBM
     ]
 
     out_shape = jax.ShapeDtypeStruct((B, pn, cp), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, pn, cp), lambda b, occ: (b, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            (
+                pltpu.VMEM((pnw, pn), jnp.int32)  # resident packed A
+                if resident_a
+                else pltpu.VMEM((2, chw, pn), jnp.int32)  # 2-chunk buf
+            ),
+            pltpu.VMEM((pn, hid_cols), jnp.int32),  # aggregation accumulator
+            pltpu.SemaphoreType.DMA((nch if resident_a else 2,)),
+        ],
+    )
+    run = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * pn * pn * 128 * (n_layers + 1),
+            bytes_accessed=a_stack.size * 4 * (n_layers + 1) + x_stack.size,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+    return run(
+        chunk_occ.astype(jnp.int32), x_stack,
+        *[w.digits for w in ws], a_stack,
+    )
+
+
+def fused_baseline_epoch(
+    a_stack: jax.Array,  # int8[B, pn, pn] dense 0/1 adjacency
+    x_stack: jax.Array,  # float32/bf16[B, pn, xp] features
+    ws: Sequence[jax.Array],  # float weight matrices (replicated)
+    interpret: Optional[bool] = None,
+    resident_a: Optional[bool] = None,
+) -> jax.Array:
+    """bf16 mega-kernel baseline: the full-precision model chain in
+    one pallas call per epoch — the SAME fusion treatment the
+    quantized engine gets, for a truly symmetric honest comparison
+    (round-1 compared a mega-fused quantized engine against a merely
+    scan-fused baseline).
+
+    Per layer (both reference baselines share this shape,
+    ``modules.py:16-24`` SAGE and ``:55-99`` GIN):
+    ``h = relu((A @ h) @ W)`` with no relu after the last layer.
+    The adjacency stays int8 on HBM/VMEM (cast to bf16 per chunk) and
+    either resides in VMEM (pn^2 bytes) or streams through a
+    two-chunk double buffer — mirroring ``fused_model_epoch``'s
+    strategies, minus the 8x packing the quantized engine enjoys.
+    """
+    B, pn, pn2 = a_stack.shape
+    _, pnx, xp = x_stack.shape
+    if pn != pn2 or pn != pnx:
+        raise ValueError(f"bad stacked shapes {a_stack.shape} {x_stack.shape}")
+    interpret = _interpret_default() if interpret is None else interpret
+    n_layers = len(ws)
+    cp = ws[-1].shape[1]
+    hid_cols = max([w.shape[1] for w in ws] + [xp])
+    fixed = (
+        2 * 2 * pn * xp          # double-buffered x block (bf16)
+        + 4 * pn * hid_cols      # f32 aggregation accumulator
+        + 2 * 4 * pn * cp        # double-buffered f32 output
+        + 2 * 2 * sum(w.size for w in ws)
+        + _CHUNK * pn * 3        # chunk int8 + bf16 cast transient
+        + (2 << 20)
+    )
+    if resident_a is None:
+        resident_a = fixed + pn * pn <= (15 << 20)
+    need = fixed + (pn * pn if resident_a else 0)
+    if need > (15 << 20):
+        raise ValueError(
+            f"baseline bucket pn={pn} needs ~{need >> 20} MB VMEM; "
+            "use the scan baseline"
+        )
+    chunk = next(
+        (c for c in (512, 256) if c <= pn and pn % c == 0), None
+    )
+    if chunk is None:
+        raise ValueError(f"pn={pn} has no chunk divisor in (512, 256)")
+    nch = pn // chunk
+
+    def kernel(x_ref, *rest):
+        ws_refs = rest[:n_layers]
+        a_hbm, o_ref, a_vmem, acc_ref, sem = rest[n_layers:]
+        b = pl.program_id(0)
+        seen_a = [False]
+
+        def copy(c, slot=None):
+            if resident_a:
+                dst = a_vmem.at[pl.ds(c * chunk, chunk), :]
+                s_ = sem.at[c]
+            else:
+                dst = a_vmem.at[slot]
+                s_ = sem.at[slot]
+            return pltpu.make_async_copy(
+                a_hbm.at[b, pl.ds(c * chunk, chunk), :], dst, s_
+            )
+
+        def agg(h):
+            ncols = h.shape[1]
+            if resident_a:
+                first = not seen_a[0]
+                if first:
+                    for c in range(nch):
+                        copy(c).start()
+                for c in range(nch):
+                    if first:
+                        copy(c).wait()
+                    a_c = a_vmem[c * chunk:(c + 1) * chunk, :].astype(
+                        jnp.bfloat16
+                    )
+                    acc_ref[c * chunk:(c + 1) * chunk, 0:ncols] = (
+                        jax.lax.dot_general(
+                            a_c, h, _DOT,
+                            preferred_element_type=jnp.float32,
+                        )
+                    )
+                seen_a[0] = True
+            else:
+                copy(0, 0).start()
+                for c in range(nch):
+                    slot = c % 2
+                    if c + 1 < nch:
+                        copy(c + 1, (c + 1) % 2).start()
+                    copy(c, slot).wait()
+                    a_c = a_vmem[slot].astype(jnp.bfloat16)
+                    acc_ref[c * chunk:(c + 1) * chunk, 0:ncols] = (
+                        jax.lax.dot_general(
+                            a_c, h, _DOT,
+                            preferred_element_type=jnp.float32,
+                        )
+                    )
+            return acc_ref[:, 0:ncols]
+
+        h = x_ref[0].astype(jnp.bfloat16)
+        for l, w_ref in enumerate(ws_refs):
+            aggd = agg(h).astype(jnp.bfloat16)
+            out = jax.lax.dot_general(
+                aggd, w_ref[...].astype(jnp.bfloat16), _DOT,
+                preferred_element_type=jnp.float32,
+            )
+            if l < n_layers - 1:
+                h = jnp.maximum(out, 0.0).astype(jnp.bfloat16)
+            else:
+                o_ref[0] = out
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, pn, xp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+    ] + [
+        pl.BlockSpec(w.shape, lambda b: (0, 0), memory_space=pltpu.VMEM)
+        for w in ws
+    ] + [
+        pl.BlockSpec(memory_space=pl.ANY),  # a_stack stays in HBM
+    ]
+
     run = pl.pallas_call(
         kernel,
         grid=(B,),
@@ -257,24 +493,26 @@ def fused_model_epoch(
         out_specs=pl.BlockSpec(
             (1, pn, cp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=out_shape,
+        out_shape=jax.ShapeDtypeStruct((B, pn, cp), jnp.float32),
         scratch_shapes=[
             (
-                pltpu.VMEM((pn, pn), jnp.int8)  # resident adjacency
+                pltpu.VMEM((pn, pn), jnp.int8)
                 if resident_a
-                else pltpu.VMEM((2, chunk, pn), jnp.int8)  # 2-chunk buf
+                else pltpu.VMEM((2, chunk, pn), jnp.int8)
             ),
-            pltpu.VMEM((pn, hid_cols), jnp.int32),  # aggregation accumulator
+            pltpu.VMEM((pn, hid_cols), jnp.float32),
             pltpu.SemaphoreType.DMA((nch if resident_a else 2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * pn * pn * 128 * (n_layers + 1),
-            bytes_accessed=a_stack.size * (n_layers + 1) + x_stack.size,
+            flops=2 * B * pn * pn * 128 * n_layers,
+            bytes_accessed=a_stack.size * n_layers + x_stack.size * 4,
             transcendentals=0,
         ),
-        interpret=_interpret_default() if interpret is None else interpret,
+        interpret=interpret,
     )
-    return run(x_stack, *[w.digits for w in ws], a_stack)
+    return run(
+        x_stack.astype(jnp.float32), *[jnp.asarray(w) for w in ws], a_stack
+    )

@@ -211,10 +211,50 @@ def test_sparse_full_graph_matches_golden(rng):
         np.testing.assert_array_equal(got, want.astype(np.float32))
 
 
+def test_mega_kernel_chunk_skip_exact(rng):
+    """Zero-tile chunk skipping in the mega kernel == dense, with
+    all-zero row-chunks actually present (padding rows)."""
+    from qgtc_ppopp22_tpu.ops.digits import digit_pack
+    from qgtc_ppopp22_tpu.ops.fused_model import fused_model_epoch
+    from qgtc_ppopp22_tpu.ops.packmm import pack_rows_np
+    from qgtc_ppopp22_tpu.runtime import mega_chunk_occ
+
+    bits, pn, xp = 2, 1024, 128
+    qa = (rng.random((2, pn, pn)) < 0.02).astype(np.int32)
+    qa[:, 512:, :] = 0  # padding rows -> the second 512-chunk is zero
+    qx = rng.integers(0, 1 << bits, (2, pn, xp)).astype(np.int32)
+    qws = [
+        rng.integers(0, 1 << bits, s).astype(np.int32)
+        for s in [(xp, 128), (128, 128), (128, 128)]
+    ]
+    ws = [digit_pack(jnp.asarray(w), bits) for w in qws]
+    x_stack = np.stack(
+        [np.asarray(digit_pack(jnp.asarray(q), bits).digits) for q in qx]
+    )
+    a_words = np.concatenate([pack_rows_np(q, 1) for q in qa])
+    occ = np.stack([mega_chunk_occ(w[None], 512) for w in a_words])
+    assert occ.min() == 0 and occ.max() == 1  # both kinds present
+    for model in ("gcn", "gin"):
+        for resident in (True, False):
+            dense = fused_model_epoch(
+                jnp.asarray(a_words), jnp.asarray(x_stack), ws, bits,
+                model=model, resident_a=resident,
+            )
+            skip = fused_model_epoch(
+                jnp.asarray(a_words), jnp.asarray(x_stack), ws, bits,
+                model=model, resident_a=resident,
+                chunk_occ=jnp.asarray(occ),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(dense), np.asarray(skip)
+            )
+
+
 def test_mega_kernel_8bit_and_shifts(rng):
     """fused_model_epoch: multi-digit operands + requant shifts."""
     from qgtc_ppopp22_tpu.ops.digits import digit_pack
     from qgtc_ppopp22_tpu.ops.fused_model import fused_model_epoch
+    from qgtc_ppopp22_tpu.ops.packmm import pack_rows_np
 
     pn, xp = 512, 128
     for bits, shifts in ((8, None), (2, [1, 2, 1, 2, 1]), (8, [2, 3, 4, 2, 3])):
@@ -228,8 +268,11 @@ def test_mega_kernel_8bit_and_shifts(rng):
         x_stack = np.stack(
             [np.asarray(digit_pack(jnp.asarray(q), bits).digits) for q in qx]
         )
+        a_words = np.concatenate(
+            [pack_rows_np(q.astype(np.int32), 1) for q in qa]
+        )
         out = fused_model_epoch(
-            jnp.asarray(qa), jnp.asarray(x_stack), ws, bits,
+            jnp.asarray(a_words), jnp.asarray(x_stack), ws, bits,
             model="gcn", shifts=shifts,
         )
         for b in range(2):

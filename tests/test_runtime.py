@@ -89,10 +89,10 @@ def test_engine_fused_and_mega_match_stepwise(small):
     from qgtc_ppopp22_tpu.ops.fused_model import fused_model_epoch
 
     b = it.batches[0]
-    a_lv = to_digit_tensor(jax.device_put(b.bit_A)).digits[0]
+    a_words = jnp.asarray(b.a_words)  # [1, pn//32, pn] packed adjacency
     x_dg = to_digit_tensor(jax.device_put(b.bit_X)).digits
     out = fused_model_epoch(
-        a_lv[None], jnp.asarray(x_dg)[None], tuple(eng.weights), 2,
+        a_words, jnp.asarray(x_dg)[None], tuple(eng.weights), 2,
         model="gcn",
     )
     np.testing.assert_array_equal(
@@ -146,14 +146,41 @@ def test_mega_nonstandard_buckets_and_gin_layers(small):
         from qgtc_ppopp22_tpu.ops.fused_model import fused_model_epoch
 
         b = it.batches[0]
-        a_lv = to_digit_tensor(jax.device_put(b.bit_A)).digits[0]
+        a_words = jnp.asarray(b.a_words)
         x_dg = jnp.asarray(to_digit_tensor(jax.device_put(b.bit_X)).digits)
         out = fused_model_epoch(
-            a_lv[None], x_dg[None], tuple(eng.weights), 2, model="gin"
+            a_words, x_dg[None], tuple(eng.weights), 2, model="gin"
         )
         np.testing.assert_array_equal(
             np.asarray(out[0])[:, : ref.shape[1]], ref
         )
+
+
+def test_baseline_mega_matches_stepwise(small):
+    """fused_baseline_epoch == the per-step bf16 baseline forward."""
+    import jax.numpy as jnp
+
+    from qgtc_ppopp22_tpu.ops.fused_model import fused_baseline_epoch
+
+    ds, it = small
+    eng = BaselineEngine(
+        feat_dim=it.feat_dim, num_classes=ds.num_classes, model="sage"
+    )
+    ref = np.asarray(eng.forward_batch(it.batches[0], ds, it.features))
+    st = eng.run_epochs_mega(it, ds, n_epochs=1)
+    assert st.avg_ms > 0
+    b = it.batches[0]
+    a, x = eng._dense_cache[
+        (b.padded_nodes, b.num_nodes, hash(b.nodes.tobytes()))
+    ]
+    out = fused_baseline_epoch(
+        jnp.asarray(a.astype(np.int8))[None],
+        jnp.asarray(x)[None],
+        tuple(eng.weights),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[0]), ref, rtol=1e-5, atol=1e-4
+    )
 
 
 def test_baseline_engine(small):
@@ -180,6 +207,83 @@ def test_cli_main(small, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "Avg. Epoch:" in out
     assert (tmp_path / "out.jsonl").exists()
+
+
+def test_sparse_engine_matches_sparse_forward(small):
+    """SparseEngine == direct sparse_q_forward; evaluate in [0, 1]."""
+    import jax.numpy as jnp
+
+    from qgtc_ppopp22_tpu.graph.batching import quantize_np
+    from qgtc_ppopp22_tpu.models.sparse import sparse_q_forward
+    from qgtc_ppopp22_tpu.runtime import SparseEngine
+
+    ds, _ = small
+    eng = SparseEngine(ds, model="gcn", bit_width=2, seed=7)
+    got = np.asarray(eng.forward())
+    want = np.asarray(
+        sparse_q_forward(
+            jnp.asarray(ds.graph.indptr),
+            jnp.asarray(ds.graph.indices),
+            jnp.asarray(quantize_np(ds.features, 2)),
+            eng._qws,
+            out_bits=2,
+            model="gcn",
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+    st = eng.run_epochs(2, sync_every_epoch=True)
+    assert len(st.epoch_ms) == 2
+    assert 0.0 <= eng.evaluate(ds.labels) <= 1.0
+
+
+def test_cli_sparse_engine(small, tmp_path, capsys):
+    """--sparse routes through SparseEngine; unsupported flags warn."""
+    from qgtc_ppopp22_tpu.cli import main
+
+    rc = main([
+        "--dataset", "Proteins", "--dataset-scale", "0.02",
+        "--n-epochs", "1", "--bit_width", "2", "--sparse",
+        "--zerotile_jump", "--eval-accuracy",
+        "--json-out", str(tmp_path / "sp.jsonl"),
+    ])
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert "Avg. Epoch:" in cap.out
+    assert "accuracy:" in cap.out
+    assert "--zerotile_jump has no effect" in cap.err
+
+
+def test_ppi_multilabel_f1_end_to_end(tmp_path, capsys):
+    """ppi carries multilabels; engines + CLI report micro/macro F1
+    (reference calc_f1/evaluate role, utils.py:43-60)."""
+    from qgtc_ppopp22_tpu.cli import main
+
+    ds = synthesize("ppi", scale=0.01, seed=3)
+    assert ds.multilabels is not None
+    assert ds.multilabels.shape == (ds.num_nodes, ds.num_classes)
+    it = ClusterBatcher(ds, 4, 2, bit_width=2, bucket_rows=256,
+                        shuffle=False)
+    eng = QGTCEngine(
+        feat_dim=it.feat_dim, num_classes=ds.num_classes, bit_width=2
+    )
+    f1 = eng.evaluate_f1(it, ds.multilabels)
+    assert 0.0 <= f1["f1_micro"] <= 1.0 and 0.0 <= f1["f1_macro"] <= 1.0
+
+    beng = BaselineEngine(
+        feat_dim=it.feat_dim, num_classes=ds.num_classes, model="sage"
+    )
+    beng.run_epochs(it, ds, n_epochs=1)
+    f1b = beng.evaluate_f1(it, ds, ds.multilabels)
+    assert 0.0 <= f1b["f1_micro"] <= 1.0
+
+    rc = main([
+        "--dataset", "ppi", "--dataset-scale", "0.01",
+        "--psize", "4", "--batch-size", "2", "--n-epochs", "1",
+        "--use_QGTC", "--eval-accuracy", "--cache-dir", str(tmp_path),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "F1-mic:" in out and "F1-mac:" in out
 
 
 def test_cli_checkpoint_roundtrip(small, tmp_path, capsys):

@@ -47,14 +47,55 @@ assert np.array_equal(
     np.asarray(digit_unpack(digitmm_to_digits(A, B, 2, tile_map=tm))))
 print("SPARSE-HW-OK")
 
-# mega kernel == per-GEMM chain on-chip
-bits, pn = 2, 512
-qa = (rng.random((2, pn, pn)) < 0.02).astype(np.int8)
+# packed-consuming GEMM (SWAR unpack) on-chip, all output forms
+from qgtc_ppopp22_tpu.ops.packmm import (
+    pack_rows, pack_rows_np, packmm_to_digits, packmm_to_f32,
+    packmm_to_packed, unpack_rows, build_tile_map_packed,
+)
+for bits_ in (1, 2, 4, 8):
+    M, K, N = 512, 640, 64
+    qa = rng.integers(0, 1 << bits_, (M, K)).astype(np.int32)
+    qb = rng.integers(0, 1 << bits_, (K, N)).astype(np.int32)
+    A = pack_rows(jnp.asarray(qa), bits_)
+    B = digit_pack(jnp.asarray(qb), bits_)
+    assert np.array_equal(
+        np.asarray(digit_unpack(packmm_to_digits(A, B, bits_))),
+        bitmm_np(qa, qb, bits_, bits_, bits_)), bits_
+    assert np.array_equal(
+        np.asarray(unpack_rows(packmm_to_packed(A, B, bits_))),
+        bitmm_np(qa, qb, bits_, bits_, bits_)), bits_
+    assert np.array_equal(
+        np.asarray(packmm_to_f32(A, B)),
+        bitmm_np(qa, qb, bits_, bits_, None)), bits_
+print("PACKMM-HW-OK")
+
+qa = rng.integers(0, 2, (1024, 1024)).astype(np.int32); qa[:, :512] = 0
+qb = rng.integers(0, 4, (1024, 128)).astype(np.int32)
+A = pack_rows(jnp.asarray(qa), 1)
+B = digit_pack(jnp.asarray(qb), 2)
+tmp = build_tile_map_packed(A, tile_m=256, tile_k=256)
+assert np.array_equal(
+    np.asarray(digit_unpack(packmm_to_digits(A, B, 2, tiles=(256, 256, 128)))),
+    np.asarray(digit_unpack(packmm_to_digits(A, B, 2, tile_map=tmp))))
+print("PACKMM-SPARSE-HW-OK")
+
+# mega kernel (packed adjacency) == per-GEMM chain on-chip,
+# dense and chunk-skip variants
+from qgtc_ppopp22_tpu.runtime import mega_chunk_occ
+bits, pn = 2, 1024
+qa = (rng.random((2, pn, pn)) < 0.02).astype(np.int32)
+qa[:, 512:, :] = 0  # the second 512-row chunk is all zero
 qx = rng.integers(0, 4, (2, pn, 128)).astype(np.int32)
 cfg = QModelConfig(128, 16, 40, bit_width=bits)
 ws = pack_weights(init_weights(jax.random.PRNGKey(0), cfg), bits, fmt="digits")
 x_stack = np.stack([np.asarray(digit_pack(jnp.asarray(q), bits).digits) for q in qx])
-out = fused_model_epoch(jnp.asarray(qa), jnp.asarray(x_stack), ws, bits, model="gcn")
+a_words = np.concatenate([pack_rows_np(q, 1) for q in qa])
+occ = np.stack([mega_chunk_occ(w[None], 512) for w in a_words])
+assert occ.min() == 0
+out = fused_model_epoch(jnp.asarray(a_words), jnp.asarray(x_stack), ws, bits, model="gcn")
+out_skip = fused_model_epoch(jnp.asarray(a_words), jnp.asarray(x_stack), ws, bits,
+                             model="gcn", chunk_occ=jnp.asarray(occ))
+assert np.array_equal(np.asarray(out), np.asarray(out_skip))
 for b in range(2):
     ref = np.asarray(qgcn_forward(
         digit_pack(jnp.asarray(qa[b].astype(np.int32)), 1),
@@ -65,7 +106,9 @@ print("MEGA-HW-OK")
 
 
 def test_kernels_on_hardware():
-    out = run_on_tpu(CODE, timeout=1200)
+    out = run_on_tpu(CODE, timeout=1800)
     assert "DIGITMM-HW-OK" in out
     assert "SPARSE-HW-OK" in out
+    assert "PACKMM-HW-OK" in out
+    assert "PACKMM-SPARSE-HW-OK" in out
     assert "MEGA-HW-OK" in out
