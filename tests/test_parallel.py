@@ -14,7 +14,7 @@ CODE = r"""
 import numpy as np, jax, jax.numpy as jnp
 from qgtc_ppopp22_tpu.ops.digits import digit_pack, digit_unpack
 from qgtc_ppopp22_tpu.models.qmodels import qgcn_forward
-from qgtc_ppopp22_tpu.parallel import make_mesh, sp_gcn_forward, sp_gcn_forward_ring, sp_gin_forward, dp_sp_epoch_step, shard_batches
+from qgtc_ppopp22_tpu.parallel import make_mesh, sp_gcn_forward, sp_gcn_forward_ring, sp_gin_forward, sp_gin_forward_ring, dp_sp_epoch_step, shard_batches
 
 rng = np.random.default_rng(0)
 bits, n, d, hid, cls = 2, 1024, 128, 64, 128
@@ -52,20 +52,57 @@ with mesh:
 assert np.array_equal(got_ring, ref[:n, :cls]), "ring forward mismatch"
 print("RING-OK")
 
+with mesh:
+    got_ring_gin = np.asarray(jax.jit(
+        lambda a_, x_: sp_gin_forward_ring(mesh, a_, x_, ws, bits)
+    )(a, x))
+assert np.array_equal(got_ring_gin, ref_gin[:n, :cls]), "gin ring mismatch"
+print("RING-GIN-OK")
+
 mesh2 = make_mesh(dp=2, sp=4)
 B = 4
 a_stack = np.stack([np.asarray(a.digits)] * B)
 x_stack = np.stack([np.asarray(x.digits)] * B)
 with mesh2:
     a_sh, x_sh = shard_batches(mesh2, a_stack, x_stack)
+    # default agg_mode is the ring schedule
     out = np.asarray(jax.jit(
         lambda a_, x_: dp_sp_epoch_step(mesh2, a_, x_, ws, bits,
                                         a_bits=1, x_bits=bits)
     )(a_sh, x_sh))
+    out_gather = np.asarray(jax.jit(
+        lambda a_, x_: dp_sp_epoch_step(mesh2, a_, x_, ws, bits,
+                                        a_bits=1, x_bits=bits,
+                                        agg_mode="gather")
+    )(a_sh, x_sh))
+    out_gin = np.asarray(jax.jit(
+        lambda a_, x_: dp_sp_epoch_step(mesh2, a_, x_, ws, bits,
+                                        a_bits=1, x_bits=bits,
+                                        model="gin")
+    )(a_sh, x_sh))
 assert out.shape[0] == B
 for i in range(B):
     assert np.array_equal(out[i], ref[:n, :cls]), f"dp batch {i} mismatch"
+    assert np.array_equal(out_gather[i], ref[:n, :cls]), f"gather {i}"
+    assert np.array_equal(out_gin[i], ref_gin[:n, :cls]), f"dp gin {i}"
 print("DP-SP-OK")
+
+# 8-bit shards: the int32 ring partials must stay exact where the old
+# f32 round-trip would have lost bits past 2^24
+bits8 = 8
+qx8 = rng.integers(0, 256, (n, d)).astype(np.int32)
+qws8 = [rng.integers(0, 256, s).astype(np.int32)
+        for s in [(d, hid), (hid, hid), (hid, cls)]]
+x8 = digit_pack(jnp.asarray(qx8), bits8)
+ws8 = [digit_pack(jnp.asarray(w), bits8) for w in qws8]
+from qgtc_ppopp22_tpu.models.qmodels import qgcn_forward as _qgcn
+ref8 = np.asarray(_qgcn(a, x8, ws8, out_bits=bits8))
+with mesh:
+    got8 = np.asarray(jax.jit(
+        lambda a_, x_: sp_gcn_forward_ring(mesh, a_, x_, ws8, bits8)
+    )(a, x8))
+assert np.array_equal(got8, ref8[:n, :cls]), "8-bit ring mismatch"
+print("RING-8BIT-OK")
 """
 
 
@@ -74,7 +111,9 @@ def test_sharded_forward_matches_single_device():
     assert "SP-OK" in out
     assert "SP-GIN-OK" in out
     assert "RING-OK" in out
+    assert "RING-GIN-OK" in out
     assert "DP-SP-OK" in out
+    assert "RING-8BIT-OK" in out
 
 
 def test_multihost_helpers_single_process():
