@@ -33,8 +33,9 @@ def main() -> int:
     p.add_argument("--psize", type=int, default=8)
     p.add_argument("--batch-size", type=int, default=2)
     p.add_argument("--scale", type=float, default=0.05)
-    p.add_argument("--hidden", type=int, default=16)
+    p.add_argument("--hidden", type=int, default=None)
     p.add_argument("--gin", action="store_true")
+    p.add_argument("--both-models", action="store_true")
     p.add_argument("--seeds", nargs="+", type=int, default=[0, 1, 2])
     p.add_argument("--cpu", action="store_true",
                    help="force CPU (QAT is small; avoids TPU dispatch)")
@@ -51,40 +52,35 @@ def main() -> int:
         jax.extend.backend.clear_backends()
 
     from qgtc_ppopp22_tpu.graph import ClusterBatcher, load_dataset
-    from qgtc_ppopp22_tpu.models.qmodels import QModelConfig
-    from qgtc_ppopp22_tpu.models.train import qat_train
+    from qgtc_ppopp22_tpu.models.train import qat_ladder
 
-    model = "gin" if args.gin else "gcn"
+    models = ["gin"] if args.gin else ["gcn"]
+    if args.both_models:
+        models = ["gcn", "gin"]
     rows = []
     for name in args.datasets:
         ds = load_dataset(name, scale=args.scale)
-        for bits in args.bits:
-            it = ClusterBatcher(
+
+        def make_batcher(bits, feature_scale=1.0):
+            return ClusterBatcher(
                 ds,
                 psize=args.psize,
                 batch_size=args.batch_size,
                 bit_width=bits,
                 shuffle=False,
+                feature_scale=feature_scale,
             )
-            cfg = QModelConfig(
-                it.feat_dim, args.hidden, ds.num_classes, bit_width=bits
+
+        for model in models:
+            hidden = args.hidden or (16 if model == "gcn" else 64)
+            got = qat_ladder(
+                ds, make_batcher, args.bits, model=model,
+                hidden=hidden, seeds=args.seeds, verbose=False,
             )
-            best = (0.0, None, None)
-            for seed in args.seeds:
-                ws, sh, acc = qat_train(ds, it, cfg, model=model, seed=seed)
-                if acc > best[0]:
-                    best = (acc, sh, seed)
-            row = dict(
-                dataset=name,
-                model=model,
-                bits=bits,
-                accuracy=round(best[0], 4),
-                chance=round(1.0 / ds.num_classes, 4),
-                shifts="/".join(map(str, best[1])),
-                seed=best[2],
-            )
-            rows.append(row)
-            print(row, flush=True)
+            for row in got:
+                row = dict(dataset=name, **row)
+                rows.append(row)
+                print(row, flush=True)
 
     if args.csv and rows:
         from qgtc_ppopp22_tpu.utils.metrics import write_csv

@@ -45,6 +45,10 @@ class GraphDataset:
     train_mask: np.ndarray
     val_mask: np.ndarray
     test_mask: np.ndarray
+    # Multilabel task matrix (ppi: 121 binary labels per node,
+    # reference ``utils.py:69-96`` loads real ppi and evaluates
+    # micro/macro F1 via ``calc_f1``). None for single-label datasets.
+    multilabels: Optional[np.ndarray] = None  # int8[N, num_classes]
 
     @property
     def num_nodes(self) -> int:
@@ -77,6 +81,16 @@ DATASET_STATS: Dict[str, Tuple[int, int, int, int]] = {
     "reddit": (232_965, 114_615_892, 602, 41),
     "ogbn-products": (2_449_029, 61_859_140, 100, 47),
 }
+
+
+def _label_proj(ncls: int, dim: int) -> np.ndarray:
+    """Fixed sparse label->feature projection (each label lights up a
+    deterministic pseudo-random pair of feature dims)."""
+    prng = np.random.default_rng(12345)
+    proj = np.zeros((ncls, dim), np.float32)
+    for c in range(ncls):
+        proj[c, prng.integers(0, dim, 2)] = 1.0
+    return proj
 
 
 def _prefix_masks(n: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -189,6 +203,20 @@ def synthesize(
     sig = labels % dim
     feats[np.arange(n), sig] += 2.5
     train, val, test = _prefix_masks(n)
+    multilabels = None
+    if name == "ppi":
+        # ppi is a MULTILABEL task (121 binary protein functions,
+        # reference ``utils.py:69-96``): give each community a sparse
+        # label subset (community-correlated, ~7% positives like real
+        # ppi) and inject per-label feature signal so aggregation
+        # genuinely helps.
+        lrng = np.random.default_rng(seed + 2)
+        comm_labels = (lrng.random((n_comm, ncls)) < 0.07).astype(np.int8)
+        flip = lrng.random((n, ncls)) < 0.02  # per-node label noise
+        multilabels = np.where(
+            flip, 1 - comm_labels[comm], comm_labels[comm]
+        ).astype(np.int8)
+        feats += (multilabels.astype(np.float32) @ _label_proj(ncls, dim)) * 1.5
     return GraphDataset(
         name=name,
         graph=g,
@@ -198,6 +226,7 @@ def synthesize(
         train_mask=train,
         val_mask=val,
         test_mask=test,
+        multilabels=multilabels,
     )
 
 

@@ -393,6 +393,142 @@ def qat_train(
     return ws, shifts, acc
 
 
+def ladder_feature_scale(bits: int) -> float:
+    """Per-bit-width input pre-scale used by :func:`qat_ladder`.
+
+    The reference quantizer's level grid is the integers with range
+    [0, 2^bits] (``kernel.h:31-71``); unscaled ~N(0,1)-ish features
+    occupy only the bottom few levels at wide bit widths. Scaling by
+    ``2^(bits-2)`` (identity at <=2 bits) spreads the same signal over
+    the full grid — plain input preprocessing, engine semantics
+    untouched — and makes a carried lower-bit solution exactly
+    shift-compensable (its first requant shift grows by the log2 of
+    the scale ratio).
+    """
+    return float(1 << max(bits - 2, 0))
+
+
+def qat_ladder(
+    dataset: GraphDataset,
+    make_batcher,
+    bits_list: Sequence[int],
+    model: str = "gcn",
+    hidden: int = 16,
+    num_layers: int = 3,
+    seeds: Sequence[int] = (0, 1, 2),
+    ste_epochs: int = 10,
+    verbose: bool = False,
+) -> List[dict]:
+    """Monotone accuracy frontier: QAT with bit-width laddering.
+
+    In the reference quantization scheme the level grid is always the
+    integers and only the *range* grows with bits
+    (``round(clip(x, 0, 2^b))``, ``kernel.h:31-71``) — so a higher-bit
+    engine can run a lower-bit solution verbatim and only gains
+    headroom (the requant clamp saturates later). Round 1's frontier
+    was non-monotone because each bit width trained from scratch and
+    recalibrated shifts against its own (worse) optimum. Here each bit
+    width considers three candidates and keeps the best deployed
+    accuracy:
+
+    1. fresh QAT per seed (:func:`qat_train`),
+    2. the previous (lower-bit) winner's weights + shifts evaluated
+       in this bit width's engine — carrying the SHIFTS matters:
+       recalibrating against the carried weights saturates
+       (measured: 0.75 recalibrated vs 0.96 carried at 4-bit),
+    3. candidate 2 STE-fine-tuned at this bit width.
+
+    ``make_batcher(bits, feature_scale)`` builds the bit-width-specific
+    batcher; the ladder passes :func:`ladder_feature_scale` so the
+    quantizer's full level grid is exercised at every width. Returns
+    one row dict per bit width (ascending).
+    """
+    rows = []
+    prev = None  # (bits, ws, shifts, acc)
+    for bits in sorted(bits_list):
+        it = make_batcher(bits, ladder_feature_scale(bits))
+        cfg = QModelConfig(
+            it.feat_dim, hidden, dataset.num_classes,
+            bit_width=bits, num_layers=num_layers,
+        )
+        candidates = []  # (acc, ws, shifts, how)
+        for seed in seeds:
+            ws, sh, acc = qat_train(
+                dataset, it, cfg, model=model, seed=seed,
+                verbose=verbose,
+            )
+            candidates.append((acc, ws, sh, f"fresh(seed={seed})"))
+        if prev is not None:
+            p_bits, p_ws, p_sh, _ = prev
+            # Two carry schedules for the lower-bit winner:
+            # * SAME shifts ("carried"): with the ladder's 2^delta
+            #   feature scale, every intermediate runs at 2^delta
+            #   times the lower-bit value against a 2^delta-wider
+            #   clamp — identical *relative* saturation, finer
+            #   resolution, argmax-invariant output scale. This is the
+            #   scale-invariant emulation that preserves
+            #   saturation-reliant models (high-degree graphs).
+            # * +delta on the first shift ("collapsed"): maps
+            #   intermediates back onto the lower-bit value range, so
+            #   the wider clamp never saturates — better when the
+            #   lower-bit model was clamp-limited rather than
+            #   clamp-reliant.
+            delta = int(
+                np.log2(
+                    ladder_feature_scale(bits)
+                    / ladder_feature_scale(p_bits)
+                )
+            )
+            carry_schedules = [(list(p_sh), "carried")]
+            if delta:
+                carry_schedules.append(
+                    ([p_sh[0] + delta] + list(p_sh[1:]), "collapsed")
+                )
+            for c_sh, tag in carry_schedules:
+                acc_carry = quantized_accuracy(
+                    dataset, it, p_ws, bits, model, shifts=c_sh
+                )
+                candidates.append((acc_carry, p_ws, c_sh, tag))
+                ws_ft, acc_ft = train_float_twin(
+                    dataset, it, cfg, model, epochs=ste_epochs, lr=5e-3,
+                    shifts=c_sh, ste=True, init_ws=p_ws, verbose=verbose,
+                )
+                candidates.append(
+                    (acc_ft, ws_ft, list(c_sh), f"{tag}+ste")
+                )
+        acc, ws, sh, how = max(candidates, key=lambda c: c[0])
+        if prev is not None and acc < prev[3] - 1e-6:
+            # Dip rescue: re-adapt the best carry schedule with a
+            # smooth phase before STE hardening.
+            c_sh = list(p_sh)
+            ws_s, _ = train_float_twin(
+                dataset, it, cfg, model, epochs=ste_epochs, lr=5e-3,
+                shifts=c_sh, ste=False, init_ws=p_ws, verbose=verbose,
+            )
+            ws_r, acc_r = train_float_twin(
+                dataset, it, cfg, model, epochs=ste_epochs + 5, lr=2e-3,
+                shifts=c_sh, ste=True, init_ws=ws_s, verbose=verbose,
+            )
+            candidates.append(
+                (acc_r, ws_r, list(c_sh), "carried+smooth+ste")
+            )
+            acc, ws, sh, how = max(candidates, key=lambda c: c[0])
+        prev = (bits, ws, sh, acc)
+        rows.append(
+            dict(
+                model=model,
+                bits=bits,
+                accuracy=round(float(acc), 4),
+                chance=round(1.0 / dataset.num_classes, 4),
+                shifts="/".join(map(str, sh)),
+                winner=how,
+            )
+        )
+        if verbose:
+            print(rows[-1], flush=True)
+    return rows
+
+
 def save_checkpoint(
     path: str,
     ws: Sequence[jnp.ndarray],
