@@ -39,7 +39,9 @@ def main() -> int:
     p.add_argument("--gin", action="store_true")
     p.add_argument("--baseline", action="store_true",
                    help="also run the full-precision baseline engine")
-    p.add_argument("--psize", type=int, default=1500)
+    p.add_argument("--psize", type=int, default=None,
+                   help="partition count (default: 1500, or the "
+                        "per-dataset override for very large graphs)")
     p.add_argument("--batch-size", type=int, default=20)
     p.add_argument("--n-epochs", type=int, default=10)
     p.add_argument("--scale", type=float, default=1.0)
@@ -54,12 +56,15 @@ def main() -> int:
 
     model = "gin" if args.gin else "gcn"
     rows = []
+    from qgtc_ppopp22_tpu.graph.datasets import DEFAULT_PSIZE
+
     for name in args.datasets:
         ds = load_dataset(name, scale=args.scale)
+        psize = args.psize or DEFAULT_PSIZE.get(name, 1500)
         for bits in args.bits:
             it = ClusterBatcher(
                 ds,
-                psize=args.psize,
+                psize=psize,
                 batch_size=args.batch_size,
                 bit_width=bits,
                 cache_dir="./datasets",
@@ -93,7 +98,7 @@ def main() -> int:
         if args.baseline:
             it = ClusterBatcher(
                 ds,
-                psize=args.psize,
+                psize=psize,
                 batch_size=args.batch_size,
                 bit_width=2,
                 cache_dir="./datasets",
@@ -105,6 +110,8 @@ def main() -> int:
             )
             if args.mode == "step":
                 st = beng.run_epochs(it, ds, n_epochs=args.n_epochs)
+            elif args.mode == "mega":
+                st = beng.run_epochs_mega(it, ds, n_epochs=args.n_epochs)
             else:
                 st = beng.run_epochs_fused(it, ds, n_epochs=args.n_epochs)
             row = dict(
@@ -112,7 +119,7 @@ def main() -> int:
                 model=model,
                 engine="fp-baseline",
                 bits=32,
-                mode="step" if args.mode == "step" else "fused",
+                mode=args.mode,
                 epoch_ms=round(st.avg_ms, 3),
             )
             rows.append(row)
