@@ -32,7 +32,7 @@ def main() -> int:
     p.add_argument("--psize", type=int, default=1500)
     p.add_argument("--batch-size", type=int, default=20)
     p.add_argument("--bit_width", type=int, default=2)
-    p.add_argument("--n-epochs", type=int, default=6)
+    p.add_argument("--n-epochs", type=int, default=20)
     p.add_argument("--scale", type=float, default=1.0)
     p.add_argument("--modes", nargs="+", default=["fused", "mega"],
                    help="engine modes to time dense-vs-zerotile")
@@ -40,7 +40,12 @@ def main() -> int:
     args = p.parse_args()
 
     from qgtc_ppopp22_tpu.graph import ClusterBatcher, load_dataset
-    from qgtc_ppopp22_tpu.runtime import QGTCEngine, mega_chunk_occ
+    from qgtc_ppopp22_tpu.ops.fused_model import mega_colblock
+    from qgtc_ppopp22_tpu.runtime import (
+        QGTCEngine,
+        mega_block_occ,
+        mega_chunk_occ,
+    )
 
     rows = []
     for name in args.datasets:
@@ -57,6 +62,7 @@ def main() -> int:
         # work at all.
         total = processed = 0
         chunks_total = chunks_occ = 0
+        blocks_total = blocks_occ = 0
         for b in it.batches:
             total += int(b.tile_kidx.size)
             processed += int(np.sum(b.tile_kcnt))
@@ -65,6 +71,9 @@ def main() -> int:
             occ = mega_chunk_occ(b.a_words, chunk)
             chunks_total += occ.size
             chunks_occ += int(occ.sum())
+            bocc = mega_block_occ(b.a_words, chunk, mega_colblock(pn))
+            blocks_total += bocc.size
+            blocks_occ += int(bocc.sum())
 
         for mode in args.modes:
             times = {}
@@ -87,6 +96,7 @@ def main() -> int:
 
             row = dict(
                 dataset=name,
+                psize=args.psize,
                 mode=mode,
                 tile="256x256",
                 tiles_total=total,
@@ -94,6 +104,9 @@ def main() -> int:
                 jump_ratio=round(1 - processed / max(total, 1), 4),
                 chunk_jump_ratio=round(
                     1 - chunks_occ / max(chunks_total, 1), 4
+                ),
+                block_jump_ratio=round(
+                    1 - blocks_occ / max(blocks_total, 1), 4
                 ),
                 dense_ms=round(times["dense"], 2),
                 zerotile_ms=round(times["zerotile"], 2),

@@ -41,7 +41,24 @@ from qgtc_ppopp22_tpu.ops.bitpack import DIGIT_BITS, num_digits
 from qgtc_ppopp22_tpu.ops.digits import DigitTensor
 from qgtc_ppopp22_tpu.ops.packmm import _extract_groups
 
-__all__ = ["fused_model_epoch", "fused_baseline_epoch"]
+__all__ = ["fused_model_epoch", "fused_baseline_epoch", "mega_colblock"]
+
+
+def mega_colblock(pn: int) -> int:
+    """Column-block width for the mega kernel's 2-D zero-block
+    skipping: the smallest divisor of ``pn`` that is a multiple of 256
+    and >= 1024 (each occupied block's MXU pass then carries >=~0.3 us
+    of work, far above the cost of the predicated branch a skipped
+    block pays), falling back to coarser widths when ``pn`` has no
+    fine divisor. ``pn`` itself (one block per chunk) degenerates to
+    row-chunk skipping."""
+    for w in range(1024, pn, 256):
+        if pn % w == 0:
+            return w
+    for w in (768, 512, 256):
+        if w < pn and pn % w == 0:
+            return w
+    return pn
 
 _DOT = (((1,), (0,)), ((), ()))
 _CHUNK = 512  # adjacency rows per DMA chunk (2 buffers resident)
@@ -92,7 +109,7 @@ def fused_model_epoch(
     interpret: Optional[bool] = None,
     shifts: Optional[Sequence[int]] = None,
     resident_a: Optional[bool] = None,
-    chunk_occ: Optional[jax.Array] = None,  # int32[B, pn//chunk]
+    chunk_occ: Optional[jax.Array] = None,  # int32[B, nch] or [B, nch, nj]
 ) -> jax.Array:
     """Run the full model over every stacked batch in ONE pallas call.
 
@@ -107,13 +124,27 @@ def fused_model_epoch(
     crossing per aggregation; fits any pn). None picks resident when
     the VMEM budget allows.
 
-    ``chunk_occ`` enables zero-tile jumping at row-chunk granularity
-    (the reference's Fig. 8b mechanism, ``kernel.h:572-592``, applied
-    at the mega kernel's natural tile size): chunks flagged 0 skip
-    the MXU pass — and, in resident mode, the DMA too — and their
-    output rows are written as zeros (exact: all-zero adjacency rows
-    aggregate nothing). Build it host-side at pack time
-    (``runtime.mega_chunk_occ``).
+    ``chunk_occ`` enables zero-tile jumping (the reference's Fig. 8b
+    mechanism, ``kernel.h:572-592``, applied at the mega kernel's
+    natural tile sizes). Two granularities:
+
+    * ``[B, nch]`` — row-chunk skipping: chunks flagged 0 skip the
+      MXU pass (and, in resident mode, the DMA too); their output
+      rows are written as zeros (exact: all-zero adjacency rows
+      aggregate nothing).
+    * ``[B, nch, nj]`` — 2-D (row-chunk x col-block) skipping in
+      STREAMING mode: each ``pn/nj``-wide column block of a chunk is
+      DMA'd and multiplied only when it contains a nonzero word, so
+      skipping saves HBM bandwidth *and* MXU work at a cost of one
+      predicated branch. This is where zero-tile jumping actually
+      pays on TPU: at coarse partitionings (large pn, streaming
+      regime) the off-diagonal inter-cluster blocks are mostly empty.
+      Build with ``runtime.mega_block_occ`` using
+      :func:`mega_colblock` for the block width; resident mode
+      collapses the col axis to a row-chunk guard.
+
+    Build occupancy host-side at pack time (``runtime.mega_chunk_occ``
+    / ``runtime.mega_block_occ``).
     """
     B, pnw, pn = a_stack.shape
     _, nd_x, pnx, xp = x_stack.shape
@@ -162,6 +193,24 @@ def fused_model_epoch(
     cp = ws[-1].digits.shape[2]
     sh = list(shifts) if shifts is not None else [0] * (2 * n_layers - 1)
 
+    if chunk_occ is None:
+        chunk_occ = jnp.ones((B, nch), jnp.int32)
+    occ_3d = chunk_occ.ndim == 3
+    if occ_3d:
+        nj = chunk_occ.shape[2]
+        if chunk_occ.shape[:2] != (B, nch) or pn % nj or (pn // nj) % 128:
+            raise ValueError(
+                f"chunk_occ shape {chunk_occ.shape} incompatible with "
+                f"B={B} nch={nch} pn={pn}"
+            )
+    else:
+        nj = 1
+        if chunk_occ.shape != (B, nch):
+            raise ValueError(
+                f"chunk_occ shape {chunk_occ.shape} != {(B, nch)}"
+            )
+    cb = pn // nj
+
     def kernel(occ_ref, x_ref, *rest):
         ws_refs = rest[:n_layers]
         a_hbm, o_ref, a_vmem, acc_ref, sem = rest[n_layers:]
@@ -173,19 +222,35 @@ def fused_model_epoch(
             [w_ref[d] for d in range(w_ref.shape[0])] for w_ref in ws_refs
         ]
 
-        def copy(c, slot=None):
-            # packed-word chunk c of this batch's adjacency ->
-            # resident slice, or a 2-slot double buffer in streaming
-            # mode (word rows: chunk/32 per chunk)
-            if resident_a:
-                dst = a_vmem.at[pl.ds(c * chw, chw), :]
-                s_ = sem.at[c]
-            else:
-                dst = a_vmem.at[slot]
-                s_ = sem.at[slot]
+        def copy(c):
+            # packed-word chunk c of this batch's adjacency -> its
+            # resident slice (word rows: chunk/32 per chunk).
+            # Streaming mode copies per col-block via copy_block.
             return pltpu.make_async_copy(
-                a_hbm.at[b, pl.ds(c * chw, chw), :], dst, s_
+                a_hbm.at[b, pl.ds(c * chw, chw), :],
+                a_vmem.at[pl.ds(c * chw, chw), :],
+                sem.at[c],
             )
+
+        def copy_block(c, j, slot):
+            # one (row-chunk x col-block) adjacency block -> its col
+            # range of the double-buffer slot (streaming 2-D skipping)
+            return pltpu.make_async_copy(
+                a_hbm.at[b, pl.ds(c * chw, chw), pl.ds(j * cb, cb)],
+                a_vmem.at[slot, :, pl.ds(j * cb, cb)],
+                sem.at[slot, j],
+            )
+
+        def occ_block(c, j):
+            return (occ_ref[b, c, j] if occ_3d else occ_ref[b, c]) != 0
+
+        def occ_chunk(c):
+            if not occ_3d:
+                return occ_ref[b, c] != 0
+            v = occ_ref[b, c, 0]
+            for j in range(1, nj):
+                v = v | occ_ref[b, c, j]
+            return v != 0
 
         def agg(h_digits, final: bool, shift: int = 0):
             """acc_rows = A @ H.
@@ -224,7 +289,7 @@ def fused_model_epoch(
                     )
 
             def guarded(c, compute_c):
-                occ_c = occ_ref[b, c] != 0
+                occ_c = occ_chunk(c)
 
                 @pl.when(occ_c)
                 def _do():
@@ -238,7 +303,7 @@ def fused_model_epoch(
                 first = not seen_a[0]
                 if first:
                     for c in range(nch):
-                        @pl.when(occ_ref[b, c] != 0)
+                        @pl.when(occ_chunk(c))
                         def _start(c=c):
                             copy(c).start()
                 for c in range(nch):
@@ -254,21 +319,56 @@ def fused_model_epoch(
                     guarded(c, compute_c)
                 seen_a[0] = True
             else:
-                # streaming: the double-buffer DMA pipeline copies
-                # every chunk (slot parity must stay in lockstep); the
-                # skip elides the unpack + MXU pass
-                copy(0, 0).start()
+                # streaming with 2-D zero-block jumping: each
+                # (row-chunk x col-block) of A is DMA'd and multiplied
+                # only when occupied — a skipped block saves its HBM
+                # crossing AND its MXU pass for the cost of one
+                # predicated branch. Per-(slot, block) semaphores keep
+                # start/wait pairs matched under the same predicate;
+                # the pipeline still runs chunk c+1's copies behind
+                # chunk c's compute.
+                def start_blocks(c, slot):
+                    for j in range(nj):
+                        @pl.when(occ_block(c, j))
+                        def _s(c=c, j=j, slot=slot):
+                            copy_block(c, j, slot).start()
+
+                def wait_blocks(c, slot):
+                    for j in range(nj):
+                        @pl.when(occ_block(c, j))
+                        def _w(c=c, j=j, slot=slot):
+                            copy_block(c, j, slot).wait()
+
+                start_blocks(0, 0)
                 for c in range(nch):
                     slot = c % 2
                     if c + 1 < nch:
-                        copy(c + 1, (c + 1) % 2).start()
-                    copy(c, slot).wait()
-
-                    def compute_c(slot=slot):
-                        a_c = _extract_groups(a_vmem[slot], 1, interpret)
-                        emit(c, _digit_dot([a_c], h_digits))
-
-                    guarded(c, compute_c)
+                        start_blocks(c + 1, (c + 1) % 2)
+                    wait_blocks(c, slot)
+                    # exact zero init; occupied blocks accumulate below
+                    emit_zero(c)
+                    for j in range(nj):
+                        @pl.when(occ_block(c, j))
+                        def _acc(c=c, j=j, slot=slot):
+                            a_cj = _extract_groups(
+                                a_vmem[slot, :, pl.ds(j * cb, cb)],
+                                1, interpret,
+                            )
+                            hj = [
+                                hd[j * cb:(j + 1) * cb]
+                                for hd in h_digits
+                            ]
+                            part = _digit_dot([a_cj], hj)
+                            lo, hi = c * chunk, (c + 1) * chunk
+                            if final:
+                                o_ref[0, lo:hi, :] = (
+                                    o_ref[0, lo:hi, :]
+                                    + part.astype(jnp.float32)
+                                )
+                            else:
+                                acc_ref[lo:hi, 0:ncols] = (
+                                    acc_ref[lo:hi, 0:ncols] + part
+                                )
             if final:
                 return None
             return _requant_digits(acc_ref[:, 0:ncols], out_bits, shift)
@@ -299,12 +399,6 @@ def fused_model_epoch(
     hid_cols = max(w.digits.shape[2] for w in ws[:-1]) if n_layers > 1 else xp
     hid_cols = max(hid_cols, xp, cp)
 
-    if chunk_occ is None:
-        chunk_occ = jnp.ones((B, nch), jnp.int32)
-    elif chunk_occ.shape != (B, nch):
-        raise ValueError(
-            f"chunk_occ shape {chunk_occ.shape} != {(B, nch)}"
-        )
 
     in_specs = [
         pl.BlockSpec(
@@ -335,7 +429,9 @@ def fused_model_epoch(
                 else pltpu.VMEM((2, chw, pn), jnp.int32)  # 2-chunk buf
             ),
             pltpu.VMEM((pn, hid_cols), jnp.int32),  # aggregation accumulator
-            pltpu.SemaphoreType.DMA((nch if resident_a else 2,)),
+            pltpu.SemaphoreType.DMA(
+                (nch,) if resident_a else (2, nj)
+            ),
         ],
     )
     run = pl.pallas_call(

@@ -362,9 +362,17 @@ class QGTCEngine:
                     None,
                 )
                 if chunk is not None:
+                    from qgtc_ppopp22_tpu.ops.fused_model import (
+                        mega_colblock,
+                    )
+
+                    cb = mega_colblock(pn_)
                     occ = jax.device_put(
                         np.stack(
-                            [mega_chunk_occ(b.a_words, chunk) for b in bs]
+                            [
+                                mega_block_occ(b.a_words, chunk, cb)
+                                for b in bs
+                            ]
                         )
                     )
             try:
@@ -769,6 +777,23 @@ def mega_chunk_occ(a_words: np.ndarray, chunk: int) -> np.ndarray:
     return (
         (a_words.reshape(nd, mw // chw, chw, pn) != 0)
         .any(axis=(0, 2, 3))
+        .astype(np.int32)
+    )
+
+
+def mega_block_occ(
+    a_words: np.ndarray, chunk: int, cb: int
+) -> np.ndarray:
+    """2-D (row-chunk x col-block) occupancy [nch, pn//cb] of an
+    M-packed adjacency, host-side at staging time. Feeds the mega
+    kernel's streaming zero-block jumping (each block's DMA + MXU pass
+    is skipped when its words are all zero; see
+    ``fused_model_epoch``)."""
+    chw = chunk // 32
+    nd, mw, pn = a_words.shape
+    return (
+        (a_words.reshape(nd, mw // chw, chw, pn // cb, cb) != 0)
+        .any(axis=(0, 2, 4))
         .astype(np.int32)
     )
 

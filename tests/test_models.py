@@ -250,6 +250,50 @@ def test_mega_kernel_chunk_skip_exact(rng):
             )
 
 
+def test_mega_kernel_block_skip_2d_exact(rng):
+    """2-D (row-chunk x col-block) zero-block jumping == dense for a
+    block-diagonal adjacency (the cluster-batch structure where the
+    streaming skip saves DMA + MXU), both streaming and resident, and
+    against the ground-truth golden chain."""
+    from qgtc_ppopp22_tpu.ops.digits import digit_pack
+    from qgtc_ppopp22_tpu.ops.fused_model import (
+        fused_model_epoch,
+        mega_colblock,
+    )
+    from qgtc_ppopp22_tpu.ops.packmm import pack_rows_np
+    from qgtc_ppopp22_tpu.runtime import mega_block_occ
+
+    bits, pn, xp = 2, 1536, 128
+    cb = mega_colblock(pn)
+    qa = np.zeros((pn, pn), np.int32)
+    for s in range(0, pn, 256):  # block-diagonal: off-diag blocks zero
+        qa[s:s + 256, s:s + 256] = (
+            rng.random((256, 256)) < 0.05
+        ).astype(np.int32)
+    qx = rng.integers(0, 1 << bits, (pn, xp)).astype(np.int32)
+    qws = [
+        rng.integers(0, 1 << bits, s).astype(np.int32)
+        for s in [(xp, 128), (128, 128), (128, 128)]
+    ]
+    ws = [digit_pack(jnp.asarray(w), bits) for w in qws]
+    x_stack = np.asarray(digit_pack(jnp.asarray(qx), bits).digits)[None]
+    a_words = pack_rows_np(qa, 1)
+    occ = mega_block_occ(a_words, 512, cb)[None]
+    assert 0.0 < occ.mean() < 1.0  # real blocks skipped
+    for model in ("gcn", "gin"):
+        gold = qgcn_golden if model == "gcn" else qgin_golden
+        want = gold(qa, qx, qws, bits, bits)
+        for resident in (True, False):
+            skip = fused_model_epoch(
+                jnp.asarray(a_words), jnp.asarray(x_stack), ws, bits,
+                model=model, resident_a=resident,
+                chunk_occ=jnp.asarray(occ),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(skip)[0], want.astype(np.float32)
+            )
+
+
 def test_mega_kernel_8bit_and_shifts(rng):
     """fused_model_epoch: multi-digit operands + requant shifts."""
     from qgtc_ppopp22_tpu.ops.digits import digit_pack
