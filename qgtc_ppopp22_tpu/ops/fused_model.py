@@ -179,6 +179,12 @@ def fused_model_epoch(
             f"bucket pn={pn} (x digits={nd_x}) needs ~{need >> 20} MB "
             "VMEM even for the streaming kernel; use the scan engine"
         )
+    # Fastest tier: when an int8 copy of A also fits, unpack each
+    # chunk ONCE (first aggregation) into a resident int8 buffer and
+    # dot straight from it afterwards — later aggregations pay zero
+    # unpack VPU work (the per-agg SWAR unpack is NOT hidden at
+    # N=128-lane aggregation widths, unlike the large-N packmm case).
+    unpack_once = resident_a and need + pn * pn <= (15 << 20)
     chunk = next(
         (c for c in (512, 256) if c <= pn and pn % c == 0), None
     )
@@ -213,7 +219,10 @@ def fused_model_epoch(
 
     def kernel(occ_ref, x_ref, *rest):
         ws_refs = rest[:n_layers]
-        a_hbm, o_ref, a_vmem, acc_ref, sem = rest[n_layers:]
+        if unpack_once:
+            a_hbm, o_ref, a_vmem, a8_vmem, acc_ref, sem = rest[n_layers:]
+        else:
+            a_hbm, o_ref, a_vmem, acc_ref, sem = rest[n_layers:]
         b = pl.program_id(0)
         seen_a = [False]  # becomes True once A is fully in VMEM
 
@@ -310,10 +319,21 @@ def fused_model_epoch(
                     def compute_c(c=c, first=first):
                         if first:
                             copy(c).wait()
-                        a_c = _extract_groups(
-                            a_vmem[c * chw : (c + 1) * chw, :], 1,
-                            interpret,
-                        )
+                            a_c = _extract_groups(
+                                a_vmem[c * chw : (c + 1) * chw, :], 1,
+                                interpret,
+                            )
+                            if unpack_once:
+                                a8_vmem[
+                                    c * chunk : (c + 1) * chunk, :
+                                ] = a_c
+                        elif unpack_once:
+                            a_c = a8_vmem[c * chunk : (c + 1) * chunk, :]
+                        else:
+                            a_c = _extract_groups(
+                                a_vmem[c * chw : (c + 1) * chw, :], 1,
+                                interpret,
+                            )
                         emit(c, _digit_dot([a_c], h_digits))
 
                     guarded(c, compute_c)
@@ -428,6 +448,13 @@ def fused_model_epoch(
                 if resident_a
                 else pltpu.VMEM((2, chw, pn), jnp.int32)  # 2-chunk buf
             ),
+        ]
+        + (
+            [pltpu.VMEM((pn, pn), jnp.int8)]  # unpacked-once int8 A
+            if unpack_once
+            else []
+        )
+        + [
             pltpu.VMEM((pn, hid_cols), jnp.int32),  # aggregation accumulator
             pltpu.SemaphoreType.DMA(
                 (nch,) if resident_a else (2, nj)
