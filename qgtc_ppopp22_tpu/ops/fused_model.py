@@ -199,6 +199,11 @@ def fused_model_epoch(
     cp = ws[-1].digits.shape[2]
     sh = list(shifts) if shifts is not None else [0] * (2 * n_layers - 1)
 
+    # With no occupancy map the kernel compiles a straight-line chunk
+    # loop (no pl.when guards, single direct emit per chunk): the
+    # dense path must not pay branch overhead for a feature it isn't
+    # using.
+    guard = chunk_occ is not None
     if chunk_occ is None:
         chunk_occ = jnp.ones((B, nch), jnp.int32)
     occ_3d = chunk_occ.ndim == 3
@@ -298,6 +303,9 @@ def fused_model_epoch(
                     )
 
             def guarded(c, compute_c):
+                if not guard:
+                    compute_c()
+                    return
                 occ_c = occ_chunk(c)
 
                 @pl.when(occ_c)
@@ -312,8 +320,11 @@ def fused_model_epoch(
                 first = not seen_a[0]
                 if first:
                     for c in range(nch):
-                        @pl.when(occ_chunk(c))
-                        def _start(c=c):
+                        if guard:
+                            @pl.when(occ_chunk(c))
+                            def _start(c=c):
+                                copy(c).start()
+                        else:
                             copy(c).start()
                 for c in range(nch):
                     def compute_c(c=c, first=first):
@@ -349,14 +360,20 @@ def fused_model_epoch(
                 # chunk c's compute.
                 def start_blocks(c, slot):
                     for j in range(nj):
-                        @pl.when(occ_block(c, j))
-                        def _s(c=c, j=j, slot=slot):
+                        if guard:
+                            @pl.when(occ_block(c, j))
+                            def _s(c=c, j=j, slot=slot):
+                                copy_block(c, j, slot).start()
+                        else:
                             copy_block(c, j, slot).start()
 
                 def wait_blocks(c, slot):
                     for j in range(nj):
-                        @pl.when(occ_block(c, j))
-                        def _w(c=c, j=j, slot=slot):
+                        if guard:
+                            @pl.when(occ_block(c, j))
+                            def _w(c=c, j=j, slot=slot):
+                                copy_block(c, j, slot).wait()
+                        else:
                             copy_block(c, j, slot).wait()
 
                 start_blocks(0, 0)
@@ -365,10 +382,17 @@ def fused_model_epoch(
                     if c + 1 < nch:
                         start_blocks(c + 1, (c + 1) % 2)
                     wait_blocks(c, slot)
+                    if not guard and nj == 1:
+                        # dense streaming: single direct emit, no
+                        # zero-init pass
+                        a_c = _extract_groups(
+                            a_vmem[slot], 1, interpret
+                        )
+                        emit(c, _digit_dot([a_c], h_digits))
+                        continue
                     # exact zero init; occupied blocks accumulate below
                     emit_zero(c)
                     for j in range(nj):
-                        @pl.when(occ_block(c, j))
                         def _acc(c=c, j=j, slot=slot):
                             a_cj = _extract_groups(
                                 a_vmem[slot, :, pl.ds(j * cb, cb)],
@@ -389,6 +413,10 @@ def fused_model_epoch(
                                 acc_ref[lo:hi, 0:ncols] = (
                                     acc_ref[lo:hi, 0:ncols] + part
                                 )
+                        if guard:
+                            pl.when(occ_block(c, j))(_acc)
+                        else:
+                            _acc()
             if final:
                 return None
             return _requant_digits(acc_ref[:, 0:ncols], out_bits, shift)

@@ -310,12 +310,14 @@ class QGTCEngine:
         n_epochs: int = 20,
         sync_every_epoch: bool = False,
     ) -> EpochStats:
-        """One kernel launch per epoch (``ops/fused_model.py``).
-
-        Stages each shape bucket as an on-device int8 adjacency stack
-        (storage-format planes cross the link, unpacked to digits once
-        on-device) and runs the whole GCN/GIN chain per batch with the
-        adjacency resident in VMEM. Requires ``fmt='digits'``.
+        """ONE dispatch per epoch: every shape bucket's mega kernel
+        (``ops/fused_model.py``) chained inside a single jitted epoch
+        function — per-call dispatch through the remote tunnel costs
+        0.3-1 ms, so three bucket launches per epoch used to cost more
+        than the ~1.3 ms of actual MXU work. Buckets whose VMEM budget
+        the mega kernel rejects (detected cheaply with
+        ``jax.eval_shape``) run through the scan engine *inside the
+        same dispatch*. Requires ``fmt='digits'``.
         """
         if self.fmt != "digits":
             raise ValueError("mega mode requires fmt='digits'")
@@ -325,7 +327,8 @@ class QGTCEngine:
         model, bit_width = self.model, self.bit_width
         from qgtc_ppopp22_tpu.ops.digits import planes_stack_to_digits
 
-        staged = []
+        callees = []  # per bucket: f(bucket_args, ws) -> logits
+        epoch_args = []  # per bucket: tuple of on-device stacks
         for key, bs, a_np, x_np, kidx, kcnt in self._fused_groups(batcher):
             # The packed adjacency words transfer as-is (the mega
             # kernel consumes them directly). Feature planes convert
@@ -334,7 +337,10 @@ class QGTCEngine:
             # call OOMs HBM at products scale.
             pn_, xshape = key[0], bs[0].bit_X.shape
             bw = self.bit_width
-            a_stack = jax.device_put(a_np)
+            # a_np stacks per-batch [nd, mw, pn] word planes; the
+            # 1-bit adjacency always has nd == 1 and the mega kernel
+            # takes [B, mw, pn].
+            a_stack = jax.device_put(a_np[:, 0])
             conv_x = jax.jit(
                 lambda p: planes_stack_to_digits(p, xshape, bw)
             )
@@ -375,48 +381,52 @@ class QGTCEngine:
                             ]
                         )
                     )
+            def mega_fn(t, w_, with_occ=occ is not None):
+                return fused_model_epoch(
+                    t[0], t[1], w_, bit_width, model=model,
+                    shifts=shifts_t,
+                    chunk_occ=t[2] if with_occ else None,
+                )
+
+            mega_args = (a_stack, x_stack) + (
+                (occ,) if occ is not None else ()
+            )
             try:
-                if occ is None:
-                    fn = jax.jit(
-                        lambda a_, x_, w_: fused_model_epoch(
-                            a_, x_, w_, bit_width, model=model,
-                            shifts=shifts_t,
-                        )
-                    )
-                    _sync(fn(a_stack, x_stack, ws))  # compile + warm
-                    staged.append(
-                        lambda fn=fn, a=a_stack, x=x_stack: fn(a, x, ws)
-                    )
-                else:
-                    fn = jax.jit(
-                        lambda a_, x_, w_, o_: fused_model_epoch(
-                            a_, x_, w_, bit_width, model=model,
-                            shifts=shifts_t, chunk_occ=o_,
-                        )
-                    )
-                    _sync(fn(a_stack, x_stack, ws, occ))
-                    staged.append(
-                        lambda fn=fn, a=a_stack, x=x_stack, o=occ: fn(
-                            a, x, ws, o
-                        )
-                    )
-            except Exception:
-                # Bucket exceeds the mega kernel's VMEM budget (or any
-                # compile failure): run this bucket through the scan
-                # engine instead — still one dispatch per epoch.
-                del x_stack
+                # trace-time shape/VMEM validation only — no compile
+                jax.eval_shape(mega_fn, mega_args, ws)
+                callees.append(mega_fn)
+                epoch_args.append(mega_args)
+            except Exception as e:
+                # Bucket exceeds the mega kernel's VMEM budget: run it
+                # through the scan engine inside the same dispatch.
+                # Loudly: a silent fallback once hid a shape bug that
+                # turned every "mega" measurement into a scan
+                # measurement.
+                print(
+                    f"[mega] bucket pn={pn_}: falling back to scan "
+                    f"engine ({type(e).__name__}: {e})"
+                )
+                del x_stack, a_stack
                 sfn = self._fused_epoch_fn(pn_, xshape)
-                stacks = (a_stack, jax.device_put(x_np))
+                # the scan engine consumes the full [B, nd, mw, pn] form
+                stacks = (jax.device_put(a_np), jax.device_put(x_np))
                 if kidx is not None:
                     stacks += (jax.device_put(kidx), jax.device_put(kcnt))
-                _sync(sfn(stacks, ws))
-                staged.append(lambda fn=sfn, s=stacks: fn(s, ws))
+                callees.append(lambda t, w_, fn=sfn: fn(t, w_))
+                epoch_args.append(stacks)
+
+        def epoch_all(all_args, w_):
+            out = None
+            for f, t in zip(callees, all_args):
+                out = f(t, w_)
+            return out
+
+        efn = jax.jit(epoch_all)
+        all_args = tuple(epoch_args)
+        _sync(efn(all_args, ws))  # compile + warm
 
         def one_epoch():
-            out = None
-            for thunk in staged:
-                out = thunk()
-            return out
+            return efn(all_args, ws)
 
         return _timed_epochs(
             one_epoch, n_epochs, len(batcher), sync_every_epoch
