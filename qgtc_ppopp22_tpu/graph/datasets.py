@@ -67,6 +67,11 @@ class GraphDataset:
 # tables stop at arxiv). Scale psize with the graph instead.
 DEFAULT_PSIZE = {"ogbn-products": 25000, "reddit": 2500}
 
+# Synthetic-graph CSR topologies above this edge count are cached on
+# disk by load_dataset (reddit's 114M-edge stand-in takes ~15 min to
+# build; everything else regenerates in seconds).
+_CSR_CACHE_MIN_EDGES = 10_000_000
+
 
 # name -> (num_nodes, num_edges, feat_dim, num_classes)
 # Published statistics of the reference's benchmark datasets
@@ -171,11 +176,14 @@ def synthesize(
     name: str,
     scale: float = 1.0,
     seed: int = 0,
+    graph: Optional[CSRGraph] = None,
 ) -> GraphDataset:
     """Synthetic stand-in for a known reference dataset.
 
     ``scale`` < 1 shrinks node/edge counts proportionally (useful for
     tests and quick runs); partition/batch geometry stays realistic.
+    ``graph``: pre-built topology (the disk cache) — node data is
+    still regenerated deterministically from ``seed``.
     """
     if name not in DATASET_STATS:
         raise KeyError(
@@ -184,10 +192,17 @@ def synthesize(
     n0, m0, dim, ncls = DATASET_STATS[name]
     n = max(64, int(n0 * scale))
     m = max(4 * n, int(m0 * scale))
-    src, dst = synthetic_edges(n, m, seed=seed)
-    g = from_edges(
-        np.concatenate([src, dst]), np.concatenate([dst, src]), n
-    )
+    if graph is not None:
+        if graph.num_nodes != n:
+            raise ValueError(
+                f"cached graph has {graph.num_nodes} nodes, want {n}"
+            )
+        g = graph
+    else:
+        src, dst = synthetic_edges(n, m, seed=seed)
+        g = from_edges(
+            np.concatenate([src, dst]), np.concatenate([dst, src]), n
+        )
     rng = np.random.default_rng(seed + 1)
     # Community-correlated labels + noisy label-indicator features:
     # the ring-lattice edges connect id-adjacent nodes, so id-block
@@ -235,10 +250,42 @@ def load_dataset(
     data_dir: str = "qgtc_graphs",
     scale: float = 1.0,
     seed: int = 0,
+    cache_dir: str = "./datasets",
 ) -> GraphDataset:
-    """npz file if present (reference format), else synthetic stand-in."""
+    """npz file if present (reference format), else synthetic stand-in.
+
+    Synthetic CSR topology is cached on disk under ``cache_dir`` for
+    graphs above ~10M edges (reddit's 114M-edge stand-in costs ~15 min
+    to build from the edge list; node data regenerates in seconds from
+    the seed and is not cached)."""
     path = os.path.join(data_dir, f"{name}.npz")
     if os.path.exists(path):
         _, _, dim, ncls = DATASET_STATS.get(name, (0, 0, 128, 10))
         return load_npz(path, dim, ncls, name=name)
-    return synthesize(name, scale=scale, seed=seed)
+    big = (
+        name in DATASET_STATS
+        and DATASET_STATS[name][1] * scale > _CSR_CACHE_MIN_EDGES
+    )
+    cpath = os.path.join(
+        cache_dir, f"_synth_{name}_s{scale:g}_seed{seed}_csr.npz"
+    )
+    csr = None
+    if big and os.path.exists(cpath):
+        with np.load(cpath) as z:
+            csr = CSRGraph(
+                num_nodes=int(z["n"]),
+                indptr=z["indptr"],
+                indices=z["indices"],
+            )
+    ds = synthesize(name, scale=scale, seed=seed, graph=csr)
+    if big and csr is None:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = cpath + ".tmp.npz"
+        np.savez(
+            tmp,
+            n=ds.graph.num_nodes,
+            indptr=ds.graph.indptr,
+            indices=ds.graph.indices.astype(np.int32),
+        )
+        os.replace(tmp, cpath)
+    return ds
