@@ -46,18 +46,21 @@ __all__ = ["fused_model_epoch", "fused_baseline_epoch", "mega_colblock"]
 
 def mega_colblock(pn: int) -> int:
     """Column-block width for the mega kernel's 2-D zero-block
-    skipping: the smallest divisor of ``pn`` that is a multiple of 256
-    and >= 1024 (each occupied block's MXU pass then carries >=~0.3 us
-    of work, far above the cost of the predicated branch a skipped
-    block pays), falling back to coarser widths when ``pn`` has no
-    fine divisor. ``pn`` itself (one block per chunk) degenerates to
-    row-chunk skipping."""
-    for w in range(1024, pn, 256):
+    skipping: the smallest divisor of ``pn`` that is a multiple of
+    256 and >= 512. At 512 the per-block MXU pass (512-row chunk x
+    512 cols x 128 lanes) still runs ~3 us of int8 work — an order
+    of magnitude above the measured cost of the predicated branch a
+    skipped block pays (~4% for an all-occupied 2560-wide map) —
+    while RCM-banded adjacencies (``ClusterBatcher(reorder="rcm")``)
+    leave ~47% of 512-wide blocks empty on ogbn-arxiv vs ~2% at the
+    1280-wide blocks this heuristic used to pick. Falls back to
+    coarser widths when ``pn`` has no fine divisor; ``pn`` itself
+    (one block per chunk) degenerates to row-chunk skipping."""
+    for w in range(512, pn, 256):
         if pn % w == 0:
             return w
-    for w in (768, 512, 256):
-        if w < pn and pn % w == 0:
-            return w
+    if pn % 256 == 0 and pn > 256:
+        return 256
     return pn
 
 _DOT = (((1,), (0,)), ((), ()))
@@ -132,16 +135,16 @@ def fused_model_epoch(
       MXU pass (and, in resident mode, the DMA too); their output
       rows are written as zeros (exact: all-zero adjacency rows
       aggregate nothing).
-    * ``[B, nch, nj]`` — 2-D (row-chunk x col-block) skipping in
-      STREAMING mode: each ``pn/nj``-wide column block of a chunk is
-      DMA'd and multiplied only when it contains a nonzero word, so
-      skipping saves HBM bandwidth *and* MXU work at a cost of one
-      predicated branch. This is where zero-tile jumping actually
-      pays on TPU: at coarse partitionings (large pn, streaming
-      regime) the off-diagonal inter-cluster blocks are mostly empty.
-      Build with ``runtime.mega_block_occ`` using
-      :func:`mega_colblock` for the block width; resident mode
-      collapses the col axis to a row-chunk guard.
+    * ``[B, nch, nj]`` — 2-D (row-chunk x col-block) skipping: each
+      ``pn/nj``-wide column block is multiplied only when it contains
+      a nonzero word. In STREAMING mode a skipped block also skips
+      its DMA (saves HBM bandwidth and MXU work); in RESIDENT mode
+      the chunk still unpacks whole but every empty block skips its
+      MXU pass. Profitable when the adjacency is banded — pair with
+      ``ClusterBatcher(reorder="rcm")``, which leaves ~47%+ of
+      512-wide blocks empty on real cluster batches. Build with
+      ``runtime.mega_block_occ`` using :func:`mega_colblock` for the
+      block width.
 
     Build occupancy host-side at pack time (``runtime.mega_chunk_occ``
     / ``runtime.mega_block_occ``).
@@ -327,7 +330,7 @@ def fused_model_epoch(
                         else:
                             copy(c).start()
                 for c in range(nch):
-                    def compute_c(c=c, first=first):
+                    def load_chunk(c=c, first=first):
                         if first:
                             copy(c).wait()
                             a_c = _extract_groups(
@@ -345,9 +348,46 @@ def fused_model_epoch(
                                 a_vmem[c * chw : (c + 1) * chw, :], 1,
                                 interpret,
                             )
-                        emit(c, _digit_dot([a_c], h_digits))
+                        return a_c
 
-                    guarded(c, compute_c)
+                    if guard and occ_3d and nj > 1:
+                        # 2-D (row-chunk x col-block) skipping on the
+                        # RESIDENT adjacency: each all-zero block of
+                        # the (RCM-banded) adjacency skips its MXU
+                        # pass. The chunk still unpacks whole (the
+                        # SWAR unpack is cheap and paid once in
+                        # unpack-once mode); only the dots are
+                        # predicated.
+                        def compute_blocks(c=c, first=first):
+                            a_c = load_chunk(c, first)
+                            emit_zero(c)
+                            lo, hi = c * chunk, (c + 1) * chunk
+                            for j in range(nj):
+                                def _acc(j=j, a_c=a_c, lo=lo, hi=hi):
+                                    part = _digit_dot(
+                                        [a_c[:, j * cb:(j + 1) * cb]],
+                                        [hd[j * cb:(j + 1) * cb]
+                                         for hd in h_digits],
+                                    )
+                                    if final:
+                                        o_ref[0, lo:hi, :] = (
+                                            o_ref[0, lo:hi, :]
+                                            + part.astype(jnp.float32)
+                                        )
+                                    else:
+                                        acc_ref[lo:hi, 0:ncols] = (
+                                            acc_ref[lo:hi, 0:ncols]
+                                            + part
+                                        )
+                                pl.when(occ_block(c, j))(_acc)
+
+                        guarded(c, compute_blocks)
+                    else:
+                        def compute_c(c=c, first=first):
+                            a_c = load_chunk(c, first)
+                            emit(c, _digit_dot([a_c], h_digits))
+
+                        guarded(c, compute_c)
                 seen_a[0] = True
             else:
                 # streaming with 2-D zero-block jumping: each

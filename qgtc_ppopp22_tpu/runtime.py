@@ -373,14 +373,18 @@ class QGTCEngine:
                     )
 
                     cb = mega_colblock(pn_)
-                    occ = jax.device_put(
-                        np.stack(
-                            [
-                                mega_block_occ(b.a_words, chunk, cb)
-                                for b in bs
-                            ]
-                        )
+                    occ_np = np.stack(
+                        [
+                            mega_block_occ(b.a_words, chunk, cb)
+                            for b in bs
+                        ]
                     )
+                    # Prune: below ~2% skippable blocks the predicated
+                    # branches cost more than the skipped MXU passes
+                    # save — run the straight-line dense kernel so
+                    # --zerotile_jump is never a regression.
+                    if 1.0 - occ_np.mean() >= 0.02:
+                        occ = jax.device_put(occ_np)
             def mega_fn(t, w_, with_occ=occ is not None):
                 return fused_model_epoch(
                     t[0], t[1], w_, bit_width, model=model,
