@@ -8,12 +8,20 @@ is the speedup over the reference (>1 = faster than baseline).
 
 Configuration and timing methodology match the reference benchmark:
 all epochs are launched and the device is synchronized ONCE at the
-end, total wall time divided by n_epochs (``main_qgtc.py:112-159``
-does exactly this with ``torch.cuda.synchronize()`` after the loop).
-Packed batches are staged in HBM outside the timed region, mirroring
-the reference's pre-packing at ``ClusterIter.__init__``; the default
-engine mode runs the whole epoch as one fused kernel launch
-(``ops/fused_model.py``).
+end (``main_qgtc.py:112-159`` does exactly this with
+``torch.cuda.synchronize()`` after the loop). One correction for this
+backend: the reference's final synchronize costs microseconds on a
+local GPU, but ours is a ~25-40 ms network-tunnel round-trip, so
+total/n would mostly report RTT (and change with n). The reported
+per-epoch time is therefore measured ON-DEVICE: the jitted epoch
+function repeated in a ``fori_loop`` with elision-proof serial
+dependence, marginal over two iteration counts so fixed overheads
+cancel (see ``runtime._timed_epochs`` /
+``utils.timing.device_bench``); the uncorrected total/n is also
+reported as ``launch_sync_ms``. Packed batches are staged in HBM
+outside the timed region, mirroring the reference's pre-packing at
+``ClusterIter.__init__``; the default engine mode runs the whole
+epoch as one fused kernel launch (``ops/fused_model.py``).
 """
 
 import json
@@ -79,8 +87,11 @@ def main() -> int:
     # reported so neither methodology is overstated. Note the host
     # link here is a network tunnel, not PCIe, so the transfer-
     # inclusive number carries tunnel RTT the reference does not pay.
+    # Per-epoch walls here (not marginal): at ~2 s/epoch over the
+    # tunnel the fixed RTT is ~2% noise, and marginal timing would
+    # cost 8x the epochs on the slowest path.
     step_stats = eng.run_epochs(
-        batcher, n_epochs=max(n_epochs // 2, 2), resident=False
+        batcher, n_epochs=3, resident=False, sync_every_epoch=True
     )
     print(
         json.dumps(
@@ -96,7 +107,13 @@ def main() -> int:
                     "zerotile_jump": zerotile,
                     "mode": mode,
                     "timing": "HBM-resident, compute-only (packed "
-                              "batches staged before the timed region)",
+                              "batches staged before the timed "
+                              "region); epoch repeated in an on-device "
+                              "fori_loop, marginal over two iteration "
+                              "counts, so the fixed ~25-40 ms tunnel "
+                              "sync RTT (which the reference's local "
+                              "cuda.synchronize does not pay) cancels",
+                    "launch_sync_ms": round(stats.launch_sync_ms, 3),
                     "transfer_inclusive_ms": round(step_stats.avg_ms, 3),
                     "transfer_inclusive_vs_baseline": round(
                         BASELINE_MS / step_stats.avg_ms, 3

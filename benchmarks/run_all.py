@@ -91,6 +91,7 @@ def main() -> int:
                 bits=bits,
                 mode=args.mode,
                 epoch_ms=round(st.avg_ms, 3),
+                launch_sync_ms=round(st.launch_sync_ms, 3),
             )
             rows.append(row)
             print(row, flush=True)
@@ -121,6 +122,7 @@ def main() -> int:
                 bits=32,
                 mode=args.mode,
                 epoch_ms=round(st.avg_ms, 3),
+                launch_sync_ms=round(st.launch_sync_ms, 3),
             )
             rows.append(row)
             print(row, flush=True)

@@ -166,6 +166,7 @@ def main(argv=None) -> int:
         print(f"Avg. Epoch: {stats.avg_ms:.3f} ms")
         record["avg_epoch_ms"] = stats.avg_ms
         record["epoch_ms"] = stats.epoch_ms
+        record["launch_sync_ms"] = stats.launch_sync_ms
         line = json.dumps(record)
         print(line)
         if args.json_out:
@@ -344,6 +345,7 @@ def main(argv=None) -> int:
     print(f"Avg. Epoch: {stats.avg_ms:.3f} ms")
     record["avg_epoch_ms"] = stats.avg_ms
     record["epoch_ms"] = stats.epoch_ms
+    record["launch_sync_ms"] = stats.launch_sync_ms
     line = json.dumps(record)
     print(line)
     if args.json_out:

@@ -51,12 +51,16 @@ from qgtc_ppopp22_tpu.ops.packmm import PACK_GROUP, PackedTensor
 @dataclasses.dataclass
 class EpochStats:
     """``epoch_ms`` holds per-epoch wall times when ``sync_every_epoch``
-    was requested, else the single amortized average (the reference's
-    methodology: one ``cuda.synchronize`` after ALL epochs, total
-    divided by ``n_epochs`` — ``main_qgtc.py:157-159``)."""
+    was requested, else the single marginal per-epoch time (see
+    ``_timed_epochs``). ``launch_sync_ms`` is total/n of one
+    launch-all-then-synchronize window — the literal transcription of
+    the reference's loop (``main_qgtc.py:157-159``), which on this
+    backend includes a fixed ~25-40 ms tunnel round-trip that the
+    reference's local ``cuda.synchronize`` does not pay."""
 
     epoch_ms: List[float]
     n_batches: int
+    launch_sync_ms: float = 0.0
 
     @property
     def avg_ms(self) -> float:
@@ -298,8 +302,18 @@ class QGTCEngine:
                 out = fn(stacks, ws)
             return out
 
+        fns = [fn for fn, _ in staged]
+
+        def epoch_all(stacks_list, w_):
+            out = None
+            for fn, st in zip(fns, stacks_list):
+                out = fn(st, w_)
+            return out
+
         return _timed_epochs(
-            one_epoch, n_epochs, len(batcher), sync_every_epoch
+            one_epoch, n_epochs, len(batcher), sync_every_epoch,
+            device_fn=epoch_all,
+            device_args=(tuple(st for _, st in staged), ws),
         )
 
     # -- mega-kernel epoch: whole model chain in one pallas call --------
@@ -433,7 +447,9 @@ class QGTCEngine:
             return efn(all_args, ws)
 
         return _timed_epochs(
-            one_epoch, n_epochs, len(batcher), sync_every_epoch
+            one_epoch, n_epochs, len(batcher), sync_every_epoch,
+            device_fn=epoch_all,
+            device_args=(all_args, ws),
         )
 
     # -- accuracy -------------------------------------------------------
@@ -540,7 +556,9 @@ class SparseEngine:
     ) -> EpochStats:
         _sync(self.forward())  # compile + warm
         return _timed_epochs(
-            self.forward, n_epochs, 1, sync_every_epoch
+            self.forward, n_epochs, 1, sync_every_epoch,
+            device_fn=self._fwd,
+            device_args=(self._indptr, self._indices, self._qx, self._qws),
         )
 
     def evaluate(self, labels: np.ndarray) -> float:
@@ -681,7 +699,7 @@ class BaselineEngine:
                     lambda a_, x_, w_: fused_baseline_epoch(a_, x_, w_)
                 )
                 _sync(fn(a_stack, x_stack, ws))
-                staged.append(lambda fn=fn, a=a_stack, x=x_stack: fn(a, x, ws))
+                staged.append((fn, a_stack, x_stack))
             except Exception:
                 @jax.jit
                 def scan_epoch(a_s, x_s, ws_):
@@ -693,18 +711,26 @@ class BaselineEngine:
                     return outs
 
                 _sync(scan_epoch(a_stack, x_stack, ws))
-                staged.append(
-                    lambda fn=scan_epoch, a=a_stack, x=x_stack: fn(a, x, ws)
-                )
+                staged.append((scan_epoch, a_stack, x_stack))
 
         def one_epoch():
             out = None
-            for thunk in staged:
-                out = thunk()
+            for fn, a_s, x_s in staged:
+                out = fn(a_s, x_s, ws)
+            return out
+
+        fns = [fn for fn, _, _ in staged]
+
+        def epoch_all(stacks_list, w_):
+            out = None
+            for fn, (a_s, x_s) in zip(fns, stacks_list):
+                out = fn(a_s, x_s, w_)
             return out
 
         return _timed_epochs(
-            one_epoch, n_epochs, len(batcher), sync_every_epoch
+            one_epoch, n_epochs, len(batcher), sync_every_epoch,
+            device_fn=epoch_all,
+            device_args=(tuple((a, x) for _, a, x in staged), ws),
         )
 
     def evaluate(self, batcher, dataset, labels: np.ndarray) -> float:
@@ -776,8 +802,18 @@ def _baseline_fused_epochs(
             out = fn(a_s, x_s, ws)
         return out
 
+    fns = [fn for fn, _, _ in staged]
+
+    def epoch_all(stacks_list, ws_):
+        out = None
+        for fn, (a_s, x_s) in zip(fns, stacks_list):
+            out = fn(a_s, x_s, ws_)
+        return out
+
     return _timed_epochs(
-        one_epoch, n_epochs, len(batcher), sync_every_epoch
+        one_epoch, n_epochs, len(batcher), sync_every_epoch,
+        device_fn=epoch_all,
+        device_args=(tuple((a, x) for _, a, x in staged), ws),
     )
 
 
@@ -842,13 +878,33 @@ def _batch_key(batch: ClusterBatch):
 
 
 def _timed_epochs(
-    one_epoch, n_epochs: int, n_batches: int, sync_every_epoch: bool
+    one_epoch,
+    n_epochs: int,
+    n_batches: int,
+    sync_every_epoch: bool,
+    device_fn=None,
+    device_args=None,
 ) -> EpochStats:
-    """Reference timing semantics by default: launch ALL epochs, one
-    synchronize at the end, report total/n_epochs
-    (``main_qgtc.py:112-159``: ``torch.cuda.synchronize()`` only after
-    the full loop). ``sync_every_epoch=True`` gives per-epoch walls
-    (includes one dispatch round-trip per epoch)."""
+    """Reference timing semantics, made exact for a remote backend.
+
+    The reference launches ALL epochs and synchronizes once
+    (``main_qgtc.py:112-159``); on its local GPU the final
+    ``cuda.synchronize`` costs microseconds, so total/n IS the
+    per-epoch time. Here the one synchronize is a ~25-40 ms tunnel
+    round-trip with ~±10 ms jitter — at millisecond epochs, total/n
+    mostly reports RTT and its value changes with ``n_epochs``
+    (observed: the same engine "measuring" 4.1 ms at n=10 and 0.9 ms
+    at n=50). When the caller provides a jitted epoch function
+    (``device_fn(*device_args)``), the headline ``epoch_ms`` is
+    therefore measured with :func:`utils.timing.device_bench` — the
+    epoch repeated in an on-device ``fori_loop`` with elision-proof
+    serial dependence, marginal over two iteration counts — which is
+    what a host-colocated deployment of this engine would observe.
+    The literal launch-all-then-sync-once transcription is still run
+    and reported as ``launch_sync_ms`` (RTT included, as measured).
+
+    ``sync_every_epoch=True`` gives per-epoch walls (includes one
+    dispatch round-trip per epoch)."""
     if sync_every_epoch:
         times = []
         for _ in range(n_epochs):
@@ -863,8 +919,20 @@ def _timed_epochs(
         out = one_epoch()
     _sync(out)
     total = (time.perf_counter() - t0) * 1e3
+    launch_sync = total / max(n_epochs, 1)
+    if device_fn is not None and jax.default_backend() != "cpu":
+        from qgtc_ppopp22_tpu.utils.timing import device_bench
+
+        dev_ms = device_bench(device_fn, device_args) * 1e3
+        return EpochStats(
+            epoch_ms=[dev_ms],
+            n_batches=n_batches,
+            launch_sync_ms=launch_sync,
+        )
     return EpochStats(
-        epoch_ms=[total / max(n_epochs, 1)], n_batches=n_batches
+        epoch_ms=[launch_sync],
+        n_batches=n_batches,
+        launch_sync_ms=launch_sync,
     )
 
 

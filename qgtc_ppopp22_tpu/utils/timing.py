@@ -41,7 +41,18 @@ def _make_loop(fn: Callable):
             # distributes (dot(a, b+s) = dot(a,b) + s*rowsum(a)).
             # xor (ints) / elementwise sin (floats) have no such
             # identity; cost is O(smallest-leaf) VPU per iteration.
-            k = min(range(len(leaves)), key=lambda i: leaves[i].size)
+            # Only *operand-valued* leaves (int8 / float planes) are
+            # candidates: control-valued leaves — occupancy maps,
+            # tile kidx/kcnt, CSR indptr (bool/int32/uint32) — steer
+            # zero-tile skipping, so scrambling them would change the
+            # work being timed, not just defeat CSE.
+            cand = [
+                i
+                for i, lf in enumerate(leaves)
+                if lf.dtype == jnp.int8
+                or jnp.issubdtype(lf.dtype, jnp.floating)
+            ] or list(range(len(leaves)))
+            k = min(cand, key=lambda i: leaves[i].size)
             lk = leaves[k]
             leaves = list(leaves)
             if jnp.issubdtype(lk.dtype, jnp.floating):
