@@ -61,7 +61,7 @@ def main() -> int:
     for name in args.datasets:
         ds = load_dataset(name, scale=args.scale)
 
-        def make_batcher(bits, feature_scale=1.0):
+        def make_batcher(bits, feature_scale=1.0, quant_bits=None):
             return ClusterBatcher(
                 ds,
                 psize=args.psize,
@@ -69,6 +69,7 @@ def main() -> int:
                 bit_width=bits,
                 shuffle=False,
                 feature_scale=feature_scale,
+                quant_bits=quant_bits,
             )
 
         for model in models:

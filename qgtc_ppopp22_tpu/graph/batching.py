@@ -111,13 +111,27 @@ class ClusterBatcher:
         shuffle: bool = True,
         feature_scale: float = 1.0,
         reorder: str = "rcm",
+        quant_bits: Optional[int] = None,
     ):
         if reorder not in ("none", "rcm"):
             raise ValueError(f"reorder must be 'none' or 'rcm': {reorder}")
+        if quant_bits is not None and quant_bits > bit_width:
+            raise ValueError(
+                f"quant_bits ({quant_bits}) must be <= bit_width "
+                f"({bit_width}): values wider than the datapath "
+                "decomposition cannot be represented"
+            )
         self.dataset = dataset
         self.psize = psize
         self.batch_size = batch_size
         self.bit_width = bit_width
+        # Feature quantization grid width. Defaults to the datapath
+        # width; a NARROWER grid (quant_bits < bit_width) makes the
+        # wider engine consume a lower-bit model's exact inputs — the
+        # upper bit planes / digits are simply zero — which is what
+        # lets a b-bit deployment reproduce a b'-bit solution
+        # bit-exactly at b-bit cost (see models/train.qat_ladder).
+        self.quant_bits = quant_bits or bit_width
         self.bucket_rows = bucket_rows
         self.feature_scale = feature_scale
         self.reorder = reorder
@@ -214,7 +228,13 @@ class ClusterBatcher:
 
             a_planes = native.pack_bits_u32_2d(dense_a, 1, pn, pn)
             bit_a = BitTensor(planes=a_planes, shape=(pn, pn), bits=1)
-            qx = native.quantize_native(x, self.bit_width)
+            qx = native.quantize_native(x, self.quant_bits)
+            if self.quant_bits < self.bit_width:
+                # Narrow-grid wrap: the quant_bits-wide deployment
+                # packs into quant_bits planes, keeping only the low
+                # bits (2^qb wraps to 0, kernel.h:204-242); apply it
+                # here so the wider container is bit-exact to it.
+                qx = qx % (1 << self.quant_bits)
             xp = round_up(self.feat_dim, COL_PAD)
             x_planes = native.pack_bits_u32_2d(
                 qx, self.bit_width, round_up(pn, ROW_PAD), xp
@@ -226,9 +246,10 @@ class ClusterBatcher:
             )
         else:
             bit_a = pack_bits_np(dense_a.astype(np.int32), 1)
-            bit_x = pack_bits_np(
-                quantize_np(x, self.bit_width), self.bit_width
-            )
+            qx = quantize_np(x, self.quant_bits)
+            if self.quant_bits < self.bit_width:
+                qx = qx % (1 << self.quant_bits)  # narrow-grid wrap
+            bit_x = pack_bits_np(qx, self.bit_width)
         from qgtc_ppopp22_tpu.ops.packmm import (
             build_tile_map_packed_np,
             pack_rows_np,

@@ -112,20 +112,43 @@ def pack_weights(
     weights: Sequence[jnp.ndarray],
     bit_width: int,
     fmt: str = "bits",
+    quant_bits: Optional[int] = None,
 ) -> List:
     """Quantize + pack weights once (reference ``main_qgtc.py:108-110``).
 
     ``fmt='bits'`` returns packed ``BitTensor``s (storage
     format), ``fmt='digits'`` int8 ``DigitTensor``s (compute
-    format, the fast path on TPU).
+    format, the fast path on TPU). ``quant_bits`` (default
+    ``bit_width``) sets the quantization grid independently of the
+    datapath decomposition width: quantizing at a narrower grid but
+    packing at ``bit_width`` leaves the upper planes/digits zero, so a
+    wide engine can run a narrow model's exact weights (see
+    ``models/train.qat_ladder``).
     """
     from qgtc_ppopp22_tpu.ops.digits import digit_pack
     from qgtc_ppopp22_tpu.ops.quantize import quantize
 
+    qb = quant_bits or bit_width
+    if qb > bit_width:
+        raise ValueError(f"quant_bits ({qb}) must be <= bit_width")
+
+    def q(w):
+        v = quantize(w, qb).astype(jnp.int32)
+        if qb < bit_width:
+            # The native-width deployment packs into qb planes, which
+            # keeps only the low qb bits (reference kernel.h:204-242;
+            # the quantizer's upper edge 2^qb wraps to 0). A wider
+            # container would keep 2^qb verbatim — wrap explicitly so
+            # emulation is bit-exact to the narrow deployment.
+            v = v % (1 << qb)
+        return v
+
     if fmt == "bits":
-        return [val2bit(w, bit_width) for w in weights]
+        from qgtc_ppopp22_tpu.ops.bitpack import pack_bits
+
+        return [pack_bits(q(w), bit_width) for w in weights]
     if fmt == "digits":
-        return [digit_pack(quantize(w, bit_width), bit_width) for w in weights]
+        return [digit_pack(q(w), bit_width) for w in weights]
     raise ValueError(f"unknown weight format {fmt!r}")
 
 

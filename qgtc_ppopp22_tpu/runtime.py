@@ -90,13 +90,24 @@ class QGTCEngine:
         seed: int = 0,
         interpret: Optional[bool] = None,
         shifts: Optional[Sequence[int]] = None,
+        clamp_bits: Optional[int] = None,
     ):
         if model not in ("gcn", "gin"):
             raise ValueError(f"unknown model {model!r}")
         if hidden is None:
             hidden = 16 if model == "gcn" else 64  # 0_7a…py:6 / 0_7b…py:6
+        if clamp_bits is not None and clamp_bits > bit_width:
+            raise ValueError("clamp_bits must be <= bit_width")
         self.model = model
         self.bit_width = bit_width
+        # Requant clamp width for intermediates. Defaults to the
+        # datapath width (reference semantics: clamp to (0, 2^b),
+        # kernel.h:347-351). A NARROWER clamp makes this engine
+        # reproduce a clamp_bits-wide model bit-exactly while paying
+        # full bit_width datapath cost — the deployment form of the
+        # accuracy ladder's exact-emulation candidate
+        # (models/train.qat_ladder).
+        self.clamp_bits = clamp_bits or bit_width
         self.zerotile_jump = zerotile_jump
         self.fmt = fmt
         self.cfg = QModelConfig(
@@ -116,6 +127,7 @@ class QGTCEngine:
         zerotile = zerotile_jump
         self.shifts = tuple(shifts) if shifts is not None else None
         shifts_t = self.shifts
+        out_bits = self.clamp_bits
 
         def step(a, bit_x: BitTensor, tm, ws):
             # ``a`` is a PackedTensor on the fast path (M-packed words
@@ -124,7 +136,7 @@ class QGTCEngine:
             # ablation path (fmt='bits').
             x = to_digit_tensor(bit_x) if fmt == "digits" else bit_x
             return fwd(
-                a, x, ws, out_bits=bit_width, tile_map=tm,
+                a, x, ws, out_bits=out_bits, tile_map=tm,
                 interpret=interpret, shifts=shifts_t,
             )
 
@@ -246,6 +258,7 @@ class QGTCEngine:
         inside one jit removes all but one dispatch.
         """
         bit_width = self.bit_width
+        out_bits = self.clamp_bits
         fwd = qgcn_forward if self.model == "gcn" else qgin_forward
         shifts_t = self.shifts
 
@@ -261,7 +274,7 @@ class QGTCEngine:
                     kidx=scanned[2], kcnt=scanned[3],
                     tile_m=PACK_GROUP, tile_k=256,
                 )
-            return fwd(a, x, ws, out_bits=bit_width, tile_map=tm,
+            return fwd(a, x, ws, out_bits=out_bits, tile_map=tm,
                        shifts=shifts_t)
 
         def epoch(stacks, ws):
@@ -339,6 +352,7 @@ class QGTCEngine:
 
         ws = tuple(self.weights)
         model, bit_width = self.model, self.bit_width
+        clamp_bits = self.clamp_bits
         from qgtc_ppopp22_tpu.ops.digits import planes_stack_to_digits
 
         callees = []  # per bucket: f(bucket_args, ws) -> logits
@@ -401,7 +415,7 @@ class QGTCEngine:
                         occ = jax.device_put(occ_np)
             def mega_fn(t, w_, with_occ=occ is not None):
                 return fused_model_epoch(
-                    t[0], t[1], w_, bit_width, model=model,
+                    t[0], t[1], w_, clamp_bits, model=model,
                     shifts=shifts_t,
                     chunk_occ=t[2] if with_occ else None,
                 )

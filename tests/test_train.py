@@ -110,3 +110,43 @@ def test_checkpoint_roundtrip(tmp_path, ds_it):
     assert sh2 == [1, 2, 1, 2, 1] and cfg2 == cfg and model2 == "gcn"
     for a, b in zip(ws, ws2):
         np.testing.assert_array_equal(np.asarray(a), b)
+
+
+def test_wide_engine_emulates_narrow_exactly(ds_it):
+    """A b-bit datapath reproduces a 2-bit model bit-for-bit when fed
+    the 2-bit grid (``quant_bits=2``: upper digit planes zero) with
+    the requant clamp narrowed (``clamp_bits=2``) — the deployment
+    form of the accuracy ladder's exact-emulation candidate, which
+    makes the committed frontier monotone by construction."""
+    from qgtc_ppopp22_tpu.runtime import QGTCEngine
+
+    ds, it2 = ds_it
+    it8 = ClusterBatcher(
+        ds, 8, 2, bit_width=8, bucket_rows=512, shuffle=False,
+        quant_bits=2,
+    )
+    for model in ("gcn", "gin"):
+        eng2 = QGTCEngine(
+            feat_dim=it2.feat_dim, num_classes=ds.num_classes,
+            model=model, bit_width=2, seed=5,
+        )
+        eng8 = QGTCEngine(
+            feat_dim=it8.feat_dim, num_classes=ds.num_classes,
+            model=model, bit_width=8, clamp_bits=2, seed=5,
+        )
+        eng8.float_weights = list(eng2.float_weights)
+        eng8.weights = pack_weights(
+            eng2.float_weights, 8, fmt="digits", quant_bits=2
+        )
+        for b2, b8 in zip(it2.batches, it8.batches):
+            got2 = np.asarray(eng2.forward_batch(b2))
+            got8 = np.asarray(eng8.forward_batch(b8))
+            np.testing.assert_array_equal(got2, got8)
+
+
+def test_quant_bits_guards():
+    ds = synthesize("Proteins", scale=0.04, seed=7)
+    with pytest.raises(ValueError):
+        ClusterBatcher(ds, 8, 2, bit_width=2, quant_bits=4)
+    with pytest.raises(ValueError):
+        pack_weights([jnp.ones((4, 4))], 2, fmt="digits", quant_bits=4)
