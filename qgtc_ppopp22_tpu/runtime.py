@@ -318,10 +318,11 @@ class QGTCEngine:
         fns = [fn for fn, _ in staged]
 
         def epoch_all(stacks_list, w_):
-            out = None
-            for fn, st in zip(fns, stacks_list):
-                out = fn(st, w_)
-            return out
+            # Return EVERY bucket's output: inside one jitted program,
+            # any bucket whose result is not returned is dead code and
+            # XLA deletes its GEMMs wholesale — observed as artist
+            # "epochs" that only ran the 2-batch tail bucket.
+            return tuple(fn(st, w_) for fn, st in zip(fns, stacks_list))
 
         return _timed_epochs(
             one_epoch, n_epochs, len(batcher), sync_every_epoch,
@@ -448,10 +449,13 @@ class QGTCEngine:
                 epoch_args.append(stacks)
 
         def epoch_all(all_args, w_):
-            out = None
-            for f, t in zip(callees, all_args):
-                out = f(t, w_)
-            return out
+            # Every bucket's output is returned: this whole epoch is
+            # ONE jitted program, and a bucket whose logits aren't
+            # among the outputs is dead code — XLA deletes its entire
+            # pallas call (observed: multi-bucket datasets "ran" only
+            # the last bucket in both the launch-sync and device-loop
+            # timings).
+            return tuple(f(t, w_) for f, t in zip(callees, all_args))
 
         efn = jax.jit(epoch_all)
         all_args = tuple(epoch_args)
@@ -736,10 +740,12 @@ class BaselineEngine:
         fns = [fn for fn, _, _ in staged]
 
         def epoch_all(stacks_list, w_):
-            out = None
-            for fn, (a_s, x_s) in zip(fns, stacks_list):
-                out = fn(a_s, x_s, w_)
-            return out
+            # All bucket outputs returned — see run_epochs_mega: an
+            # unreturned bucket is dead code inside one jit.
+            return tuple(
+                fn(a_s, x_s, w_)
+                for fn, (a_s, x_s) in zip(fns, stacks_list)
+            )
 
         return _timed_epochs(
             one_epoch, n_epochs, len(batcher), sync_every_epoch,
@@ -819,10 +825,12 @@ def _baseline_fused_epochs(
     fns = [fn for fn, _, _ in staged]
 
     def epoch_all(stacks_list, ws_):
-        out = None
-        for fn, (a_s, x_s) in zip(fns, stacks_list):
-            out = fn(a_s, x_s, ws_)
-        return out
+        # All bucket outputs returned — see run_epochs_mega: an
+        # unreturned bucket is dead code inside one jit.
+        return tuple(
+            fn(a_s, x_s, ws_)
+            for fn, (a_s, x_s) in zip(fns, stacks_list)
+        )
 
     return _timed_epochs(
         one_epoch, n_epochs, len(batcher), sync_every_epoch,
