@@ -44,7 +44,10 @@ def main() -> int:
     from qgtc_ppopp22_tpu.runtime import QGTCEngine
 
     n_epochs = int(os.environ.get("QGTC_BENCH_EPOCHS", "20"))
-    zerotile = os.environ.get("QGTC_BENCH_ZEROTILE", "0") != "0"
+    zt_env = os.environ.get("QGTC_BENCH_ZEROTILE", "")
+    # unset = auto (on only in the streaming mega regime, where it is
+    # a measured win); "0"/"1" force off/on
+    zerotile = None if zt_env == "" else zt_env != "0"
     mode = os.environ.get("QGTC_BENCH_MODE", "mega")
 
     ds = load_dataset("ogbn-arxiv", data_dir="qgtc_graphs")

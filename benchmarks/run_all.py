@@ -45,7 +45,8 @@ def main() -> int:
     p.add_argument("--batch-size", type=int, default=20)
     p.add_argument("--n-epochs", type=int, default=10)
     p.add_argument("--scale", type=float, default=1.0)
-    p.add_argument("--zerotile_jump", action="store_true")
+    p.add_argument("--zerotile_jump", action="store_true", default=None,
+                   help="force on (absent = auto: streaming-mega only)")
     p.add_argument("--mode", choices=("step", "fused", "mega"),
                    default="mega")
     p.add_argument("--csv", type=str, default="results/epochs.csv")

@@ -35,7 +35,10 @@ def main() -> int:
     p.add_argument("--n-epochs", type=int, default=20)
     p.add_argument("--scale", type=float, default=1.0)
     p.add_argument("--modes", nargs="+", default=["fused", "mega"],
-                   help="engine modes to time dense-vs-zerotile")
+                   help="engine modes to time dense-vs-zerotile; "
+                        "'mega-streaming' forces the streaming (non-"
+                        "VMEM-resident) mega kernel, the regime where "
+                        "a skipped block saves its HBM crossing")
     p.add_argument("--csv", type=str, default=None)
     args = p.parse_args()
 
@@ -86,6 +89,10 @@ def main() -> int:
                 )
                 if mode == "mega":
                     st = eng.run_epochs_mega(it, n_epochs=args.n_epochs)
+                elif mode == "mega-streaming":
+                    st = eng.run_epochs_mega(
+                        it, n_epochs=args.n_epochs, resident_a=False
+                    )
                 elif mode == "fused":
                     st = eng.run_epochs_fused(it, n_epochs=args.n_epochs)
                 else:

@@ -53,7 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bit_width", type=int, default=2)
     p.add_argument("--use_QGTC", action="store_true")
     p.add_argument("--run_GIN", action="store_true")
-    p.add_argument("--zerotile_jump", action="store_true")
+    p.add_argument("--zerotile_jump", action="store_true", default=None,
+                   help="force zero-tile skipping on everywhere; "
+                        "default (absent) = auto: on in the streaming "
+                        "mega regime where it wins, off where measured "
+                        "as a regression")
     p.add_argument("--regular", action="store_true",
                    help="full-precision baseline (DGL-driver role)")
     p.add_argument("--sparse", action="store_true",

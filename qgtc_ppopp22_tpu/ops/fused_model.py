@@ -41,7 +41,12 @@ from qgtc_ppopp22_tpu.ops.bitpack import DIGIT_BITS, num_digits
 from qgtc_ppopp22_tpu.ops.digits import DigitTensor
 from qgtc_ppopp22_tpu.ops.packmm import _extract_groups
 
-__all__ = ["fused_model_epoch", "fused_baseline_epoch", "mega_colblock"]
+__all__ = [
+    "fused_model_epoch",
+    "fused_baseline_epoch",
+    "mega_colblock",
+    "mega_vmem_plan",
+]
 
 
 def mega_colblock(pn: int) -> int:
@@ -66,6 +71,68 @@ def mega_colblock(pn: int) -> int:
 _DOT = (((1,), (0,)), ((), ()))
 _CHUNK = 512  # adjacency rows per DMA chunk (2 buffers resident)
 _RPW = 32  # adjacency rows per packed word (1-bit, field width 1)
+
+
+def _round8(n: int) -> int:
+    return (n + 7) // 8 * 8
+
+
+def mega_vmem_plan(
+    pn: int,
+    nd_x: int,
+    xp: int,
+    ws,
+    out_cols: Optional[int] = None,
+    resident_a: Optional[bool] = None,
+):
+    """Static VMEM budget for the mega kernel -> (resident_a,
+    unpack_once).
+
+    Resident packed A (pn^2/8 words) + double-buffered x block + int32
+    accumulator + double-buffered f32 output + weights must fit the
+    ~16 MB core VMEM with headroom for Mosaic transients (incl. the
+    per-chunk unpacked a-tile). Raises when even the streaming kernel
+    does not fit (callers fall back to the scan engine). Exposed so
+    the runtime can tell — BEFORE staging — whether a bucket will
+    stream: in the streaming regime zero-block jumping saves each
+    skipped block's HBM crossing and is a measured win
+    (results/zero_tile_streaming.csv), while in the resident regime A
+    crosses HBM once anyway and predication only costs
+    (results/zero_tile.csv).
+    """
+    a_res_bytes = (pn // _RPW) * pn * 4  # = pn*pn/8
+    cp_est = ws[-1].digits.shape[2]
+    oc_est = (
+        cp_est
+        if out_cols is None
+        else min(_round8(out_cols), cp_est)
+    )
+    hid_est = max(
+        [w.digits.shape[2] for w in ws[:-1]] + [xp, cp_est]
+    )
+    fixed = (
+        2 * nd_x * pn * xp
+        + 4 * pn * hid_est
+        + 2 * 4 * pn * oc_est
+        + 2 * sum(w.digits.size for w in ws)
+        + _CHUNK * pn  # unpacked per-chunk a-tile transient
+        + (2 << 20)
+    )
+    if resident_a is None:
+        resident_a = fixed + a_res_bytes <= (15 << 20)
+    need = fixed + (a_res_bytes if resident_a else 0)
+    if need > (15 << 20):
+        raise ValueError(
+            f"bucket pn={pn} (x digits={nd_x}) needs ~{need >> 20} MB "
+            "VMEM even for the streaming kernel; use the scan engine"
+        )
+    # Fastest tier: when an int8 copy of A also fits, unpack each
+    # chunk ONCE (first aggregation) into a resident int8 buffer and
+    # dot straight from it afterwards — later aggregations pay zero
+    # unpack VPU work (the per-agg SWAR unpack is NOT hidden at
+    # N=128-lane aggregation widths, unlike the large-N packmm case).
+    unpack_once = resident_a and need + pn * pn <= (15 << 20)
+    return resident_a, unpack_once
 
 
 def _interpret_default() -> bool:
@@ -113,12 +180,16 @@ def fused_model_epoch(
     shifts: Optional[Sequence[int]] = None,
     resident_a: Optional[bool] = None,
     chunk_occ: Optional[jax.Array] = None,  # int32[B, nch] or [B, nch, nj]
+    out_cols: Optional[int] = None,
 ) -> jax.Array:
     """Run the full model over every stacked batch in ONE pallas call.
 
     ``a_stack`` is the M-packed word form of each batch adjacency
     (``packmm.pack_rows`` layout, 1-bit). Returns float32 logits
-    [B, pn, cls_padded]. ``shifts``: optional per-GEMM power-of-two
+    [B, pn, cls_padded], where cls_padded is the weight tensor's
+    128-lane class dim, or ``round8(out_cols)`` when ``out_cols`` is
+    given (slices the STORE only — the biggest HBM term of an epoch
+    is otherwise logit padding; values are unchanged). ``shifts``: optional per-GEMM power-of-two
     requant scales, ordered as in ``qgcn_forward``/``qgin_forward``
     (None = reference semantics). ``resident_a`` selects the adjacency
     strategy: True keeps the packed A in VMEM across the layer stack
@@ -156,38 +227,9 @@ def fused_model_epoch(
     if model not in ("gcn", "gin"):
         raise ValueError(model)
     interpret = _interpret_default() if interpret is None else interpret
-    # Static VMEM budget: resident packed A (pn^2/8 words) + double-
-    # buffered x block + int32 accumulator + double-buffered f32 output
-    # + weights must fit the ~16 MB core VMEM with headroom for Mosaic
-    # transients (incl. the per-chunk unpacked a-tile). Callers fall
-    # back to the scan engine when this raises.
-    a_res_bytes = pnw * pn * 4  # = pn*pn/8
-    cp_est = ws[-1].digits.shape[2]
-    hid_est = max(
-        [w.digits.shape[2] for w in ws[:-1]] + [xp, cp_est]
+    resident_a, unpack_once = mega_vmem_plan(
+        pn, nd_x, xp, ws, out_cols=out_cols, resident_a=resident_a
     )
-    fixed = (
-        2 * nd_x * pn * xp
-        + 4 * pn * hid_est
-        + 2 * 4 * pn * cp_est
-        + 2 * sum(w.digits.size for w in ws)
-        + _CHUNK * pn  # unpacked per-chunk a-tile transient
-        + (2 << 20)
-    )
-    if resident_a is None:
-        resident_a = fixed + a_res_bytes <= (15 << 20)
-    need = fixed + (a_res_bytes if resident_a else 0)
-    if need > (15 << 20):
-        raise ValueError(
-            f"bucket pn={pn} (x digits={nd_x}) needs ~{need >> 20} MB "
-            "VMEM even for the streaming kernel; use the scan engine"
-        )
-    # Fastest tier: when an int8 copy of A also fits, unpack each
-    # chunk ONCE (first aggregation) into a resident int8 buffer and
-    # dot straight from it afterwards — later aggregations pay zero
-    # unpack VPU work (the per-agg SWAR unpack is NOT hidden at
-    # N=128-lane aggregation widths, unlike the large-N packmm case).
-    unpack_once = resident_a and need + pn * pn <= (15 << 20)
     chunk = next(
         (c for c in (512, 256) if c <= pn and pn % c == 0), None
     )
@@ -200,6 +242,13 @@ def fused_model_epoch(
     nch = pn // chunk
     n_layers = len(ws)
     cp = ws[-1].digits.shape[2]
+    # Stored logit columns. Weight digit tensors pad the class dim to
+    # 128 lanes (digit_pack), but real class counts are 2-47: storing
+    # all 128 padded lanes makes the logits the LARGEST HBM term of an
+    # epoch (e.g. arxiv 98 MB/epoch of which ~2/3 is padding). The MXU
+    # computes the full 128-lane tile either way; only the store is
+    # sliced, so ``out_cols`` changes bytes written, not values.
+    oc = cp if out_cols is None else min(_round8(out_cols), cp)
     sh = list(shifts) if shifts is not None else [0] * (2 * n_layers - 1)
 
     # With no occupancy map the kernel compiles a straight-line chunk
@@ -287,9 +336,9 @@ def fused_model_epoch(
 
             def emit(c, part):
                 if final:
-                    o_ref[0, c * chunk : (c + 1) * chunk, :] = part.astype(
-                        jnp.float32
-                    )
+                    o_ref[0, c * chunk : (c + 1) * chunk, :] = part[
+                        :, 0:oc
+                    ].astype(jnp.float32)
                 else:
                     acc_ref[c * chunk : (c + 1) * chunk, 0:ncols] = part
 
@@ -372,7 +421,9 @@ def fused_model_epoch(
                                     if final:
                                         o_ref[0, lo:hi, :] = (
                                             o_ref[0, lo:hi, :]
-                                            + part.astype(jnp.float32)
+                                            + part[:, 0:oc].astype(
+                                                jnp.float32
+                                            )
                                         )
                                     else:
                                         acc_ref[lo:hi, 0:ncols] = (
@@ -447,7 +498,7 @@ def fused_model_epoch(
                             if final:
                                 o_ref[0, lo:hi, :] = (
                                     o_ref[0, lo:hi, :]
-                                    + part.astype(jnp.float32)
+                                    + part[:, 0:oc].astype(jnp.float32)
                                 )
                             else:
                                 acc_ref[lo:hi, 0:ncols] = (
@@ -482,7 +533,9 @@ def fused_model_epoch(
                     h = agg(h, final=False, shift=sh[si]); si += 1
             if n_layers > 1:
                 h = agg(h, final=False, shift=sh[si]); si += 1
-            o_ref[0] = _digit_dot(h, w_digits[-1]).astype(jnp.float32)
+            o_ref[0] = _digit_dot(h, w_digits[-1])[:, 0:oc].astype(
+                jnp.float32
+            )
 
     hid_cols = max(w.digits.shape[2] for w in ws[:-1]) if n_layers > 1 else xp
     hid_cols = max(hid_cols, xp, cp)
@@ -501,13 +554,13 @@ def fused_model_epoch(
         pl.BlockSpec(memory_space=pl.ANY),  # a_stack stays in HBM
     ]
 
-    out_shape = jax.ShapeDtypeStruct((B, pn, cp), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((B, pn, oc), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, pn, cp), lambda b, occ: (b, 0, 0),
+            (1, pn, oc), lambda b, occ: (b, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[

@@ -85,7 +85,7 @@ class QGTCEngine:
         bit_width: int = 2,
         hidden: Optional[int] = None,
         num_layers: int = 3,
-        zerotile_jump: bool = False,
+        zerotile_jump: Optional[bool] = None,
         fmt: str = "digits",
         seed: int = 0,
         interpret: Optional[bool] = None,
@@ -108,6 +108,12 @@ class QGTCEngine:
         # accuracy ladder's exact-emulation candidate
         # (models/train.qat_ladder).
         self.clamp_bits = clamp_bits or bit_width
+        # Tri-state: True forces zero-tile skipping everywhere
+        # (reference --zerotile_jump), False forces it off, None =
+        # auto — off where measured as a regression (per-layer sparse
+        # grids, VMEM-resident mega) and ON where measured as a win
+        # (streaming mega: each skipped block saves its HBM crossing,
+        # results/zero_tile_streaming.csv).
         self.zerotile_jump = zerotile_jump
         self.fmt = fmt
         self.cfg = QModelConfig(
@@ -337,6 +343,7 @@ class QGTCEngine:
         batcher: ClusterBatcher,
         n_epochs: int = 20,
         sync_every_epoch: bool = False,
+        resident_a: Optional[bool] = None,
     ) -> EpochStats:
         """ONE dispatch per epoch: every shape bucket's mega kernel
         (``ops/fused_model.py``) chained inside a single jitted epoch
@@ -390,8 +397,32 @@ class QGTCEngine:
                     )
                 x_stack = fill_x(x_stack, px, i)
             shifts_t = self.shifts
+            # Measured regime split (results/zero_tile*.csv): in the
+            # VMEM-RESIDENT kernel A crosses HBM once per batch, so
+            # 2-D block skipping only saves MXU passes and its
+            # predication + accumulate form costs more than it saves
+            # (0.80x on arxiv) — there, occupancy is opt-in
+            # (--zerotile_jump, reference flag semantics). In the
+            # STREAMING kernel every skipped block saves its HBM
+            # crossing: 1.15x on arxiv — there, skipping is ON by
+            # default.
+            will_stream = False
+            if self.zerotile_jump is None and resident_a is not True:
+                try:
+                    from qgtc_ppopp22_tpu.ops.fused_model import (
+                        mega_vmem_plan,
+                    )
+
+                    plan_res, _ = mega_vmem_plan(
+                        pn_, x_stack.shape[1], x_stack.shape[3], ws,
+                        out_cols=self.cfg.out_dim,
+                        resident_a=resident_a,
+                    )
+                    will_stream = not plan_res
+                except ValueError:
+                    pass  # scan fallback below; occ irrelevant
             occ = None
-            if self.zerotile_jump:
+            if self.zerotile_jump is True or will_stream:
                 chunk = next(
                     (c for c in (512, 256) if c <= pn_ and pn_ % c == 0),
                     None,
@@ -409,9 +440,9 @@ class QGTCEngine:
                         ]
                     )
                     # Prune: below ~2% skippable blocks the predicated
-                    # branches cost more than the skipped MXU passes
-                    # save — run the straight-line dense kernel so
-                    # --zerotile_jump is never a regression.
+                    # branches cost more than the skipped work saves —
+                    # run the straight-line dense kernel so skipping
+                    # is never a regression.
                     if 1.0 - occ_np.mean() >= 0.02:
                         occ = jax.device_put(occ_np)
             def mega_fn(t, w_, with_occ=occ is not None):
@@ -419,6 +450,8 @@ class QGTCEngine:
                     t[0], t[1], w_, clamp_bits, model=model,
                     shifts=shifts_t,
                     chunk_occ=t[2] if with_occ else None,
+                    out_cols=self.cfg.out_dim,
+                    resident_a=resident_a,
                 )
 
             mega_args = (a_stack, x_stack) + (

@@ -326,3 +326,43 @@ def test_mega_kernel_8bit_and_shifts(rng):
             )
             got = np.asarray(out[b])[:, : want.shape[1]]
             np.testing.assert_array_equal(got, want.astype(np.float32))
+
+
+def test_mega_kernel_sliced_logit_store(rng):
+    """out_cols stores only the real class columns: values equal the
+    full-width output's prefix for every mode x model (the weight
+    digit tensors pad classes to 128 lanes; the slice changes bytes
+    written, never values)."""
+    from qgtc_ppopp22_tpu.ops.digits import digit_pack
+    from qgtc_ppopp22_tpu.ops.fused_model import fused_model_epoch
+    from qgtc_ppopp22_tpu.ops.packmm import pack_rows_np
+
+    bits, pn, xp, ncls = 2, 512, 128, 12
+    qa = (rng.random((2, pn, pn)) < 0.05).astype(np.int32)
+    qx = rng.integers(0, 1 << bits, (2, pn, xp)).astype(np.int32)
+    qws = [
+        rng.integers(0, 1 << bits, s).astype(np.int32)
+        for s in [(xp, 128), (128, 128), (128, ncls)]
+    ]
+    ws = [digit_pack(jnp.asarray(w), bits) for w in qws]
+    x_stack = np.stack(
+        [np.asarray(digit_pack(jnp.asarray(q), bits).digits) for q in qx]
+    )
+    a_words = np.concatenate([pack_rows_np(q, 1) for q in qa])
+    for model in ("gcn", "gin"):
+        for resident in (True, False):
+            full = np.asarray(
+                fused_model_epoch(
+                    jnp.asarray(a_words), jnp.asarray(x_stack), ws,
+                    bits, model=model, resident_a=resident,
+                )
+            )
+            sliced = np.asarray(
+                fused_model_epoch(
+                    jnp.asarray(a_words), jnp.asarray(x_stack), ws,
+                    bits, model=model, resident_a=resident,
+                    out_cols=ncls,
+                )
+            )
+            assert sliced.shape == (2, pn, 16)  # round8(12)
+            np.testing.assert_array_equal(full[:, :, :16], sliced)
