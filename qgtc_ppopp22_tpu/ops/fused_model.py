@@ -153,6 +153,39 @@ def _digit_dot(a_digits, b_digits):
     return acc
 
 
+def _lane_stackable(ndigits: int, rw, padded_cols: int) -> bool:
+    """True when a 2-digit-plane matrix of real width ``rw`` fits both
+    planes side by side in ONE 128-lane tile. Wider tiles never win:
+    at padded_cols > 128 the dot already spans multiple N tiles, so
+    stacking would not reduce MXU passes."""
+    return (
+        ndigits == 2
+        and rw is not None
+        and padded_cols == 128
+        and 2 * _round8(int(rw)) <= 128
+    )
+
+
+def _lane_stack(d0, d1, s: int, roll):
+    """Two base-16 digit planes -> ONE plane, digit 1 parked ``s``
+    lanes to the right. Lanes are disjoint (planes are zero beyond
+    their real width ``rw <= s``), so values stay < 16 and the sum is
+    lossless. A dot against the stacked plane computes both digits'
+    partial products in one MXU pass, in separate output lanes."""
+    return d0 + roll(d1, s)
+
+
+def _lane_unstack(acc, s: int, rw: int, roll):
+    """Fold a stacked dot's output lanes back: lanes [s, s+rw) hold
+    digit 1's partials, worth 16x (DIGIT_BITS) more than digit 0's in
+    lanes [0, rw). Garbage lanes >= rw are zeroed so requantized digit
+    planes stay clean for the next stacking. Exact int32 algebra —
+    identical to summing two separate dots with the 4-bit shift."""
+    u = acc + (roll(acc, acc.shape[-1] - s) << 4)
+    lane = jax.lax.broadcasted_iota(jnp.int32, u.shape, u.ndim - 1)
+    return jnp.where(lane < rw, u, 0)
+
+
 def _requant_digits(acc, out_bits: int, shift: int = 0) -> List[jnp.ndarray]:
     """Reference epilogue (kernel.h:347-351) -> base-16 digit list.
     ``shift``: optional power-of-two pre-scale (see ops/quantize.py)."""
@@ -181,6 +214,7 @@ def fused_model_epoch(
     resident_a: Optional[bool] = None,
     chunk_occ: Optional[jax.Array] = None,  # int32[B, nch] or [B, nch, nj]
     out_cols: Optional[int] = None,
+    x_cols: Optional[int] = None,
 ) -> jax.Array:
     """Run the full model over every stacked batch in ONE pallas call.
 
@@ -219,6 +253,19 @@ def fused_model_epoch(
 
     Build occupancy host-side at pack time (``runtime.mega_chunk_occ``
     / ``runtime.mega_block_occ``).
+
+    ``x_cols``: real (unpadded) feature width. 8-bit operands carry
+    TWO base-16 digit planes; at the benchmark's narrow widths
+    (hidden 16/64, classes <= 47) both planes of a matrix fit side by
+    side in ONE 128-lane tile, so every dot against it runs half the
+    MXU passes — the 16x digit weight is folded back after the dot by
+    a lane roll (exact int32 algebra, see ``_lane_stack``/
+    ``_lane_unstack``). Weight planes are stacked host-side from each
+    weight's recorded real width; hidden planes are stacked in-kernel;
+    ``x_cols`` extends this to the GIN first aggregation's feature
+    operand (the only place X is a dot RHS). None disables only the X
+    stacking. Multi-digit epochs drop from ``2x`` the single-digit MXU
+    work per agg (and ``4x`` per update) to ``1x``/``2x``.
     """
     B, pnw, pn = a_stack.shape
     _, nd_x, pnx, xp = x_stack.shape
@@ -251,6 +298,28 @@ def fused_model_epoch(
     oc = cp if out_cols is None else min(_round8(out_cols), cp)
     sh = list(shifts) if shifts is not None else [0] * (2 * n_layers - 1)
 
+    # Lane-stack 2-digit-plane weights host-side (see the docstring):
+    # the stacked array has ONE plane, so _digit_dot against it pays
+    # half the MXU passes; w_info records (stride, real width) for the
+    # in-kernel unstack. DigitTensor.shape carries each weight's real
+    # extent, so no extra caller plumbing is needed.
+    w_info: List[Optional[tuple]] = []
+    kw_arrays = []
+    for w in ws:
+        rw = w.shape[1]
+        if _lane_stackable(w.digits.shape[0], rw, w.digits.shape[2]):
+            s = _round8(rw)
+            kw_arrays.append(
+                _lane_stack(
+                    w.digits[0], w.digits[1], s,
+                    lambda v, k: jnp.roll(v, k, axis=-1),
+                )[None]
+            )
+            w_info.append((s, rw))
+        else:
+            kw_arrays.append(w.digits)
+            w_info.append(None)
+
     # With no occupancy map the kernel compiles a straight-line chunk
     # loop (no pl.when guards, single direct emit per chunk): the
     # dense path must not pay branch overhead for a feature it isn't
@@ -282,6 +351,9 @@ def fused_model_epoch(
             a_hbm, o_ref, a_vmem, acc_ref, sem = rest[n_layers:]
         b = pl.program_id(0)
         seen_a = [False]  # becomes True once A is fully in VMEM
+
+        def kroll(v, k):  # lane roll (Mosaic lane rotate)
+            return pltpu.roll(v, shift=k, axis=v.ndim - 1)
 
         x_digits = [x_ref[0, d] for d in range(nd_x)]
         w_digits = [
@@ -318,7 +390,7 @@ def fused_model_epoch(
                 v = v | occ_ref[b, c, j]
             return v != 0
 
-        def agg(h_digits, final: bool, shift: int = 0):
+        def agg(h_digits, rw_h, final: bool, shift: int = 0):
             """acc_rows = A @ H.
 
             Resident mode: the FIRST aggregation streams A chunk by
@@ -331,14 +403,34 @@ def fused_model_epoch(
             aggregation, but only 2*chunk*pn bytes of VMEM. Chunk
             loops statically unrolled so Mosaic lowers each dot onto
             the MXU.
+
+            When H carries two digit planes of real width ``rw_h``
+            that fit one lane tile, they are lane-stacked into a
+            single RHS so every chunk pays ONE MXU pass instead of
+            two; stacked partials accumulate linearly in acc_ref /
+            o_ref and are unstacked once at requant / store time.
             """
             ncols = h_digits[0].shape[1]
+            stk = _lane_stackable(len(h_digits), rw_h, ncols)
+            if stk:
+                s_h = _round8(int(rw_h))
+                h_eff = [
+                    _lane_stack(h_digits[0], h_digits[1], s_h, kroll)
+                ]
+            else:
+                s_h = 0
+                h_eff = h_digits
+
+            def unstk(part):
+                return (
+                    _lane_unstack(part, s_h, rw_h, kroll) if stk else part
+                )
 
             def emit(c, part):
                 if final:
-                    o_ref[0, c * chunk : (c + 1) * chunk, :] = part[
-                        :, 0:oc
-                    ].astype(jnp.float32)
+                    o_ref[0, c * chunk : (c + 1) * chunk, :] = unstk(
+                        part
+                    )[:, 0:oc].astype(jnp.float32)
                 else:
                     acc_ref[c * chunk : (c + 1) * chunk, 0:ncols] = part
 
@@ -416,12 +508,12 @@ def fused_model_epoch(
                                     part = _digit_dot(
                                         [a_c[:, j * cb:(j + 1) * cb]],
                                         [hd[j * cb:(j + 1) * cb]
-                                         for hd in h_digits],
+                                         for hd in h_eff],
                                     )
                                     if final:
                                         o_ref[0, lo:hi, :] = (
                                             o_ref[0, lo:hi, :]
-                                            + part[:, 0:oc].astype(
+                                            + unstk(part)[:, 0:oc].astype(
                                                 jnp.float32
                                             )
                                         )
@@ -436,7 +528,7 @@ def fused_model_epoch(
                     else:
                         def compute_c(c=c, first=first):
                             a_c = load_chunk(c, first)
-                            emit(c, _digit_dot([a_c], h_digits))
+                            emit(c, _digit_dot([a_c], h_eff))
 
                         guarded(c, compute_c)
                 seen_a[0] = True
@@ -479,7 +571,7 @@ def fused_model_epoch(
                         a_c = _extract_groups(
                             a_vmem[slot], 1, interpret
                         )
-                        emit(c, _digit_dot([a_c], h_digits))
+                        emit(c, _digit_dot([a_c], h_eff))
                         continue
                     # exact zero init; occupied blocks accumulate below
                     emit_zero(c)
@@ -491,14 +583,16 @@ def fused_model_epoch(
                             )
                             hj = [
                                 hd[j * cb:(j + 1) * cb]
-                                for hd in h_digits
+                                for hd in h_eff
                             ]
                             part = _digit_dot([a_cj], hj)
                             lo, hi = c * chunk, (c + 1) * chunk
                             if final:
                                 o_ref[0, lo:hi, :] = (
                                     o_ref[0, lo:hi, :]
-                                    + part[:, 0:oc].astype(jnp.float32)
+                                    + unstk(part)[:, 0:oc].astype(
+                                        jnp.float32
+                                    )
                                 )
                             else:
                                 acc_ref[lo:hi, 0:ncols] = (
@@ -510,32 +604,42 @@ def fused_model_epoch(
                             _acc()
             if final:
                 return None
-            return _requant_digits(acc_ref[:, 0:ncols], out_bits, shift)
-
-        def upd(h_digits, w_dg, shift=0):
             return _requant_digits(
-                _digit_dot(h_digits, w_dg), out_bits, shift
+                unstk(acc_ref[:, 0:ncols]), out_bits, shift
             )
+
+        def upd(h_digits, l, shift=0):
+            acc = _digit_dot(h_digits, w_digits[l])
+            if w_info[l] is not None:
+                s, rw = w_info[l]
+                acc = _lane_unstack(acc, s, rw, kroll)
+            return _requant_digits(acc, out_bits, shift)
 
         if model == "gcn":
             si = 0
-            h = upd(x_digits, w_digits[0], sh[si]); si += 1
+            h = upd(x_digits, 0, sh[si]); si += 1
+            rw_h = ws[0].shape[1]
             for l in range(1, n_layers):
-                h = agg(h, final=False, shift=sh[si]); si += 1
-                h = upd(h, w_digits[l], sh[si]); si += 1
-            agg(h, final=True)
+                h = agg(h, rw_h, final=False, shift=sh[si]); si += 1
+                h = upd(h, l, sh[si]); si += 1
+                rw_h = ws[l].shape[1]
+            agg(h, rw_h, final=True)
         else:  # gin: aggregate first, weight-multiply last
             si = 0
-            h = agg(x_digits, final=False, shift=sh[si]); si += 1
+            h = agg(x_digits, x_cols, final=False, shift=sh[si]); si += 1
+            rw_h = x_cols
             for l in range(n_layers - 1):
-                h = upd(h, w_digits[l], sh[si]); si += 1
+                h = upd(h, l, sh[si]); si += 1
+                rw_h = ws[l].shape[1]
                 if l < n_layers - 2:
-                    h = agg(h, final=False, shift=sh[si]); si += 1
+                    h = agg(h, rw_h, final=False, shift=sh[si]); si += 1
             if n_layers > 1:
-                h = agg(h, final=False, shift=sh[si]); si += 1
-            o_ref[0] = _digit_dot(h, w_digits[-1])[:, 0:oc].astype(
-                jnp.float32
-            )
+                h = agg(h, rw_h, final=False, shift=sh[si]); si += 1
+            acc = _digit_dot(h, w_digits[-1])
+            if w_info[-1] is not None:
+                s, rw = w_info[-1]
+                acc = _lane_unstack(acc, s, rw, kroll)
+            o_ref[0] = acc[:, 0:oc].astype(jnp.float32)
 
     hid_cols = max(w.digits.shape[2] for w in ws[:-1]) if n_layers > 1 else xp
     hid_cols = max(hid_cols, xp, cp)
@@ -547,9 +651,9 @@ def fused_model_epoch(
             memory_space=pltpu.VMEM,
         ),
     ] + [
-        pl.BlockSpec(w.digits.shape, lambda b, occ: (0, 0, 0),
+        pl.BlockSpec(kw.shape, lambda b, occ: (0, 0, 0),
                      memory_space=pltpu.VMEM)
-        for w in ws
+        for kw in kw_arrays
     ] + [
         pl.BlockSpec(memory_space=pl.ANY),  # a_stack stays in HBM
     ]
@@ -597,8 +701,7 @@ def fused_model_epoch(
         interpret=interpret,
     )
     return run(
-        chunk_occ.astype(jnp.int32), x_stack,
-        *[w.digits for w in ws], a_stack,
+        chunk_occ.astype(jnp.int32), x_stack, *kw_arrays, a_stack,
     )
 
 

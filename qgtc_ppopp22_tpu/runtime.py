@@ -452,6 +452,7 @@ class QGTCEngine:
                     chunk_occ=t[2] if with_occ else None,
                     out_cols=self.cfg.out_dim,
                     resident_a=resident_a,
+                    x_cols=self.cfg.in_dim,
                 )
 
             mega_args = (a_stack, x_stack) + (

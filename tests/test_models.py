@@ -328,6 +328,64 @@ def test_mega_kernel_8bit_and_shifts(rng):
             np.testing.assert_array_equal(got, want.astype(np.float32))
 
 
+def test_mega_kernel_lane_stacking_exact(rng):
+    """8-bit (two-digit-plane) operands at the benchmark's REAL widths
+    (hidden 16/64, a dozen classes, narrow features) trigger the
+    lane-stacking fast path — both digit planes of weights / hidden
+    state / (GIN) features ride one 128-lane tile, halving MXU passes.
+    Must be bit-exact vs the golden chain for every model x mode x
+    skipping combination, with and without ``x_cols``, and with
+    requant shifts (which interact with the unstacked accumulator)."""
+    from qgtc_ppopp22_tpu.ops.digits import digit_pack
+    from qgtc_ppopp22_tpu.ops.fused_model import fused_model_epoch
+    from qgtc_ppopp22_tpu.ops.fused_model import mega_colblock
+    from qgtc_ppopp22_tpu.ops.packmm import pack_rows_np
+    from qgtc_ppopp22_tpu.runtime import mega_block_occ
+
+    pn, feat, ncls = 512, 29, 12
+    for bits, hid, shifts in (
+        (8, 16, None),
+        (8, 64, [2, 3, 4, 2, 3]),
+        (6, 16, None),  # partial top digit (bits 4-5)
+    ):
+        qa = (rng.random((2, pn, pn)) < 0.05).astype(np.int32)
+        qx = rng.integers(0, 1 << bits, (2, pn, feat)).astype(np.int32)
+        qws = [
+            rng.integers(0, 1 << bits, s).astype(np.int32)
+            for s in [(feat, hid), (hid, hid), (hid, ncls)]
+        ]
+        ws = [digit_pack(jnp.asarray(w), bits) for w in qws]
+        assert ws[0].digits.shape[0] == 2  # stacking path actually taken
+        x_stack = np.stack(
+            [np.asarray(digit_pack(jnp.asarray(q), bits).digits) for q in qx]
+        )
+        a_words = np.concatenate([pack_rows_np(q, 1) for q in qa])
+        occ = np.stack(
+            [mega_block_occ(w[None], 512, mega_colblock(pn)) for w in a_words]
+        )
+        for model, golden in (("gcn", qgcn_golden), ("gin", qgin_golden)):
+            want = [
+                golden(qa[b], qx[b], qws, bits, bits, shifts=shifts)
+                for b in range(2)
+            ]
+            for resident in (True, False):
+                for kw in (
+                    dict(),
+                    dict(x_cols=feat),
+                    dict(x_cols=feat, chunk_occ=jnp.asarray(occ)),
+                ):
+                    out = fused_model_epoch(
+                        jnp.asarray(a_words), jnp.asarray(x_stack), ws,
+                        bits, model=model, shifts=shifts,
+                        resident_a=resident, **kw,
+                    )
+                    for b in range(2):
+                        np.testing.assert_array_equal(
+                            np.asarray(out[b])[:, : want[b].shape[1]],
+                            want[b].astype(np.float32),
+                        )
+
+
 def test_mega_kernel_sliced_logit_store(rng):
     """out_cols stores only the real class columns: values equal the
     full-width output's prefix for every mode x model (the weight
