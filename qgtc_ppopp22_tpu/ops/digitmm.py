@@ -35,8 +35,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from qgtc_ppopp22_tpu.ops.bitgemm import TileMap
-from qgtc_ppopp22_tpu.ops.bitpack import DIGIT_BITS, num_digits
-from qgtc_ppopp22_tpu.ops.digits import DigitTensor
+from qgtc_ppopp22_tpu.ops.bitpack import DIGIT_BITS, num_digits, round_up
+from qgtc_ppopp22_tpu.ops.digits import (
+    DigitTensor,
+    lane_stack,
+    lane_stackable,
+    lane_unstack,
+)
 
 __all__ = [
     "digitmm_to_digits",
@@ -118,7 +123,8 @@ def zero_tile_stats_digits(
 
 
 def _make_kernel(
-    nd_a, nd_b, out_bits, nk, tm, tk, tn, sparse, shift=0, raw_i32=False
+    nd_a, nd_b, out_bits, nk, tm, tk, tn, sparse, shift=0, raw_i32=False,
+    b_stk=None,
 ):
     dot_dims = (((1,), (0,)), ((), ()))
 
@@ -154,6 +160,16 @@ def _make_kernel(
         @pl.when(t == nk - 1)
         def _epilogue():
             acc = acc_ref[:]
+            if b_stk is not None:
+                # B's two digit planes rode one lane tile (see
+                # ops/digits.lane_stack); fold digit 1's partials
+                # (lanes [s, s+rw)) back onto lanes [0, rw) with the
+                # 16x digit weight and zero the garbage lanes.
+                s, rw = b_stk
+                acc = lane_unstack(
+                    acc, s, rw,
+                    lambda v, k: pltpu.roll(v, shift=k, axis=v.ndim - 1),
+                )
             if out_bits is None:
                 o_ref[:] = acc if raw_i32 else acc.astype(jnp.float32)
             else:
@@ -241,9 +257,25 @@ def _digitmm(
         kidx = jnp.broadcast_to(jnp.arange(nk, dtype=jnp.int32), (nm, nk))
         kcnt = jnp.full((nm,), nk, jnp.int32)
 
+    # Lane-stack a 2-digit-plane RHS whose real width fits one lane
+    # tile (8-bit B at the benchmark's N <= 64): each (d, e) pass pair
+    # collapses to one MXU pass, with digit 1's partials recovered in
+    # the epilogue (exact — see ops/digits.lane_stack/lane_unstack).
+    b_dig = b.digits
+    b_stk = None
+    if lane_stackable(nd_b, N, np_) and tn == np_:
+        s = round_up(N, 8)
+        b_dig = lane_stack(
+            b.digits[0], b.digits[1], s,
+            lambda v, k: jnp.roll(v, k, axis=-1),
+        )[None]
+        b_stk = (s, N)
+        nd_b = 1
+
     kernel = _make_kernel(
         nd_a, nd_b, out_bits, nk, tm, tk, tn,
         sparse=tile_map is not None, shift=shift, raw_i32=raw_i32,
+        b_stk=b_stk,
     )
 
     def a_map(i, j, t, kidx_ref, kcnt_ref):
@@ -295,7 +327,7 @@ def _digitmm(
         cost_estimate=cost,
         interpret=_interpret_default() if interpret is None else interpret,
     )
-    out = run(kidx, kcnt, a.digits, b.digits)
+    out = run(kidx, kcnt, a.digits, b_dig)
 
     if out_bits is None:
         return out[:M, :N]

@@ -54,7 +54,46 @@ __all__ = [
     "digit_pack",
     "digit_unpack",
     "planes_stack_to_digits",
+    "lane_stackable",
+    "lane_stack",
+    "lane_unstack",
 ]
+
+
+def lane_stackable(ndigits: int, rw, padded_cols: int) -> bool:
+    """True when a 2-digit-plane matrix of real width ``rw`` fits both
+    planes side by side in ONE 128-lane tile. Wider matrices never
+    win: beyond 128 padded columns a dot already spans multiple N
+    tiles, so stacking would not reduce MXU passes."""
+    return (
+        ndigits == 2
+        and rw is not None
+        and padded_cols == LANE
+        and 2 * round_up(int(rw), 8) <= LANE
+    )
+
+
+def lane_stack(d0, d1, s: int, roll):
+    """Two base-16 digit planes -> ONE plane, digit 1 parked ``s``
+    lanes to the right (``s = round_up(rw, 8)``). Lanes are disjoint
+    (planes are zero beyond their real width ``rw <= s``), so values
+    stay < 16 and the sum is lossless. A dot against the stacked plane
+    computes both digits' partial products in one MXU pass, in
+    separate output lanes. ``roll(v, k)`` must rotate the minor axis
+    right by ``k`` (``jnp.roll`` outside kernels, ``pltpu.roll``
+    inside)."""
+    return d0 + roll(d1, s)
+
+
+def lane_unstack(acc, s: int, rw: int, roll):
+    """Fold a stacked dot's output lanes back: lanes [s, s+rw) hold
+    digit 1's partials, worth 16x (``DIGIT_BITS``) more than digit
+    0's in lanes [0, rw). Garbage lanes >= rw are zeroed so the
+    result is indistinguishable from summing two separate dots with
+    the 4-bit shift — exact int32 algebra."""
+    u = acc + (roll(acc, acc.shape[-1] - s) << 4)
+    lane = jax.lax.broadcasted_iota(jnp.int32, u.shape, u.ndim - 1)
+    return jnp.where(lane < rw, u, 0)
 
 
 @jax.tree_util.register_dataclass

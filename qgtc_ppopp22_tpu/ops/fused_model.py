@@ -38,7 +38,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from qgtc_ppopp22_tpu.ops.bitpack import DIGIT_BITS, num_digits
-from qgtc_ppopp22_tpu.ops.digits import DigitTensor
+from qgtc_ppopp22_tpu.ops.digits import (
+    DigitTensor,
+    lane_stack,
+    lane_stackable,
+    lane_unstack,
+)
 from qgtc_ppopp22_tpu.ops.packmm import _extract_groups
 
 __all__ = [
@@ -151,39 +156,6 @@ def _digit_dot(a_digits, b_digits):
             part = part << shift if shift else part
             acc = part if acc is None else acc + part
     return acc
-
-
-def _lane_stackable(ndigits: int, rw, padded_cols: int) -> bool:
-    """True when a 2-digit-plane matrix of real width ``rw`` fits both
-    planes side by side in ONE 128-lane tile. Wider tiles never win:
-    at padded_cols > 128 the dot already spans multiple N tiles, so
-    stacking would not reduce MXU passes."""
-    return (
-        ndigits == 2
-        and rw is not None
-        and padded_cols == 128
-        and 2 * _round8(int(rw)) <= 128
-    )
-
-
-def _lane_stack(d0, d1, s: int, roll):
-    """Two base-16 digit planes -> ONE plane, digit 1 parked ``s``
-    lanes to the right. Lanes are disjoint (planes are zero beyond
-    their real width ``rw <= s``), so values stay < 16 and the sum is
-    lossless. A dot against the stacked plane computes both digits'
-    partial products in one MXU pass, in separate output lanes."""
-    return d0 + roll(d1, s)
-
-
-def _lane_unstack(acc, s: int, rw: int, roll):
-    """Fold a stacked dot's output lanes back: lanes [s, s+rw) hold
-    digit 1's partials, worth 16x (DIGIT_BITS) more than digit 0's in
-    lanes [0, rw). Garbage lanes >= rw are zeroed so requantized digit
-    planes stay clean for the next stacking. Exact int32 algebra —
-    identical to summing two separate dots with the 4-bit shift."""
-    u = acc + (roll(acc, acc.shape[-1] - s) << 4)
-    lane = jax.lax.broadcasted_iota(jnp.int32, u.shape, u.ndim - 1)
-    return jnp.where(lane < rw, u, 0)
 
 
 def _requant_digits(acc, out_bits: int, shift: int = 0) -> List[jnp.ndarray]:
@@ -307,10 +279,10 @@ def fused_model_epoch(
     kw_arrays = []
     for w in ws:
         rw = w.shape[1]
-        if _lane_stackable(w.digits.shape[0], rw, w.digits.shape[2]):
+        if lane_stackable(w.digits.shape[0], rw, w.digits.shape[2]):
             s = _round8(rw)
             kw_arrays.append(
-                _lane_stack(
+                lane_stack(
                     w.digits[0], w.digits[1], s,
                     lambda v, k: jnp.roll(v, k, axis=-1),
                 )[None]
@@ -411,11 +383,11 @@ def fused_model_epoch(
             o_ref and are unstacked once at requant / store time.
             """
             ncols = h_digits[0].shape[1]
-            stk = _lane_stackable(len(h_digits), rw_h, ncols)
+            stk = lane_stackable(len(h_digits), rw_h, ncols)
             if stk:
                 s_h = _round8(int(rw_h))
                 h_eff = [
-                    _lane_stack(h_digits[0], h_digits[1], s_h, kroll)
+                    lane_stack(h_digits[0], h_digits[1], s_h, kroll)
                 ]
             else:
                 s_h = 0
@@ -423,7 +395,7 @@ def fused_model_epoch(
 
             def unstk(part):
                 return (
-                    _lane_unstack(part, s_h, rw_h, kroll) if stk else part
+                    lane_unstack(part, s_h, rw_h, kroll) if stk else part
                 )
 
             def emit(c, part):
@@ -612,7 +584,7 @@ def fused_model_epoch(
             acc = _digit_dot(h_digits, w_digits[l])
             if w_info[l] is not None:
                 s, rw = w_info[l]
-                acc = _lane_unstack(acc, s, rw, kroll)
+                acc = lane_unstack(acc, s, rw, kroll)
             return _requant_digits(acc, out_bits, shift)
 
         if model == "gcn":
@@ -638,7 +610,7 @@ def fused_model_epoch(
             acc = _digit_dot(h, w_digits[-1])
             if w_info[-1] is not None:
                 s, rw = w_info[-1]
-                acc = _lane_unstack(acc, s, rw, kroll)
+                acc = lane_unstack(acc, s, rw, kroll)
             o_ref[0] = acc[:, 0:oc].astype(jnp.float32)
 
     hid_cols = max(w.digits.shape[2] for w in ws[:-1]) if n_layers > 1 else xp

@@ -90,6 +90,41 @@ def test_digitmm_sparse_matches_dense(rng):
     np.testing.assert_array_equal(np.asarray(densef), np.asarray(sparsef))
 
 
+@pytest.mark.parametrize("N", [13, 16, 64])
+@pytest.mark.parametrize("a_bits,b_bits", [(1, 8), (8, 8), (8, 6)])
+def test_digitmm_lane_stacked_rhs_exact(rng, a_bits, b_bits, N):
+    """A 2-digit-plane RHS at real width <= 64 rides ONE lane tile
+    (``ops/digits.lane_stack``); all output flavors (requantized
+    digits incl. shift, f32, raw int32) and the sparse zero-tile grid
+    must stay bit-exact vs the golden — including the masked garbage
+    lanes beyond N."""
+    from qgtc_ppopp22_tpu.ops.digitmm import digitmm_to_i32
+
+    M, K = 256, 300
+    qa = rng.integers(0, 1 << a_bits, (M, K)).astype(np.int32)
+    qa[128:] = 0  # zero M/K tiles so the sparse map really skips
+    qb = rng.integers(0, 1 << b_bits, (K, N)).astype(np.int32)
+    a = digit_pack(jnp.asarray(qa), a_bits)
+    b = digit_pack(jnp.asarray(qb), b_bits)
+    assert b.digits.shape[0] == 2  # the stacked path is actually taken
+
+    got = np.asarray(digit_unpack(digitmm_to_digits(a, b, 4, shift=1)))
+    want = bitmm_np(qa, qb, a_bits, b_bits, 4, shift=1)
+    np.testing.assert_array_equal(got, want)
+
+    gotf = np.asarray(digitmm_to_f32(a, b))
+    goti = np.asarray(digitmm_to_i32(a, b))
+    wantf = bitmm_np(qa, qb, a_bits, b_bits, None)
+    np.testing.assert_array_equal(gotf, wantf.astype(np.float32))
+    np.testing.assert_array_equal(goti[:M, :N], wantf)
+
+    tm = build_tile_map_digits(a)
+    sparse = digitmm_to_digits(a, b, 4, shift=1, tile_map=tm)
+    np.testing.assert_array_equal(
+        np.asarray(digit_unpack(sparse)), want
+    )
+
+
 def test_digit_chain_composes(rng):
     """Output of digitmm composes as either operand of the next GEMM."""
     bits = 2
