@@ -44,7 +44,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from qgtc_ppopp22_tpu.ops.bitgemm import TileMap
 from qgtc_ppopp22_tpu.ops.bitpack import DIGIT_BITS, num_digits, round_up
-from qgtc_ppopp22_tpu.ops.digits import DigitTensor
+from qgtc_ppopp22_tpu.ops.digits import (
+    DigitTensor,
+    lane_stack,
+    lane_stackable,
+    lane_unstack,
+)
 
 __all__ = [
     "PackedTensor",
@@ -434,6 +439,21 @@ def _packmm(
     nm, nn, nk = mp // tm, np_ // tn, kp // tk
     tmw = tm // rpw
 
+    # Lane-stack a 2-digit-plane RHS whose real width fits one lane
+    # tile (8-bit B at the sweep's N <= 64): each (d, e) pass pair
+    # collapses to one MXU pass; digit 1's partials are folded back in
+    # the epilogue (exact — ops/digits.lane_stack/lane_unstack).
+    b_dig = b.digits
+    b_stk = None
+    if lane_stackable(nd_b, N, np_) and tn == np_:
+        s_b = round_up(N, 8)
+        b_dig = lane_stack(
+            b.digits[0], b.digits[1], s_b,
+            lambda v, k: jnp.roll(v, k, axis=-1),
+        )[None]
+        b_stk = (s_b, N)
+        nd_b = 1
+
     # B stays fully VMEM-resident (loaded once) when small enough;
     # otherwise it streams per K-tile. The sparse path requires the
     # resident form (K-tile selection happens via dynamic slice).
@@ -489,6 +509,11 @@ def _packmm(
         @pl.when(t == nk - 1)
         def _epilogue():
             acc = acc_ref[:]
+            if b_stk is not None:
+                acc = lane_unstack(
+                    acc, b_stk[0], b_stk[1],
+                    lambda v, k: pltpu.roll(v, shift=k, axis=v.ndim - 1),
+                )
             if out_bits is None:
                 o_ref[:] = acc.astype(jnp.float32)
                 return
@@ -567,7 +592,7 @@ def _packmm(
         cost_estimate=cost,
         interpret=interpret,
     )
-    out = run(kidx, kcnt, a.words, b.digits)
+    out = run(kidx, kcnt, a.words, b_dig)
 
     if out_bits is None:
         return out[:M, :N]

@@ -123,6 +123,40 @@ def test_packmm_sparse_matches_dense(rng):
     np.testing.assert_array_equal(np.asarray(densef), np.asarray(sparsef))
 
 
+@pytest.mark.parametrize("N", [13, 16, 64])
+def test_packmm_lane_stacked_rhs_exact(rng, N):
+    """8-bit B at real width <= 64 rides ONE lane tile inside the
+    packed-operand kernel (``ops/digits.lane_stack``): digits, f32,
+    packed output, and the sparse grid all stay bit-exact vs golden."""
+    M, K = 512, 512
+    qa = rng.integers(0, 1 << 8, (M, K)).astype(np.int32)
+    qa[256:] = 0
+    qa[:, 256:] = 0  # zero tiles so the sparse map skips
+    qb = rng.integers(0, 1 << 8, (K, N)).astype(np.int32)
+    a = pack_rows(jnp.asarray(qa), 8)
+    b = digit_pack(jnp.asarray(qb), 8)
+    assert b.digits.shape[0] == 2  # the stacked path is actually taken
+
+    got = np.asarray(digit_unpack(packmm_to_digits(a, b, 4, shift=2)))
+    want = bitmm_np(qa, qb, 8, 8, 4, shift=2)
+    np.testing.assert_array_equal(got, want)
+
+    gotf = np.asarray(packmm_to_f32(a, b))
+    np.testing.assert_array_equal(
+        gotf, bitmm_np(qa, qb, 8, 8, None).astype(np.float32)
+    )
+
+    gotp = np.asarray(unpack_rows(packmm_to_packed(a, b, 8)))
+    np.testing.assert_array_equal(gotp, bitmm_np(qa, qb, 8, 8, 8))
+
+    tmap = build_tile_map_packed(a, tile_m=256, tile_k=256)
+    assert int(np.sum(np.asarray(tmap.kcnt))) < tmap.kidx.size
+    sparse = packmm_to_digits(a, b, 4, shift=2, tile_map=tmap)
+    np.testing.assert_array_equal(
+        np.asarray(digit_unpack(sparse)), want
+    )
+
+
 def test_packmm_chain_composes(rng):
     """packed-out feeds the next GEMM's A; digit-out feeds its B."""
     bits = 2
