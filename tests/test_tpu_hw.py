@@ -102,6 +102,38 @@ for b in range(2):
         digit_pack(jnp.asarray(qx[b]), bits), ws, out_bits=bits))
     assert np.array_equal(np.asarray(out[b])[:, :ref.shape[1]], ref), b
 print("MEGA-HW-OK")
+
+# lane-stacked multi-digit paths on-chip (ops/digits.lane_stack):
+# 8-bit operands at real widths <= 64 ride one 128-lane tile — the
+# Mosaic pltpu.roll fold-back must match the interpret-mode semantics
+from tests.golden import qgcn_golden, qgin_golden
+M, K, N = 512, 640, 16
+qa8 = rng.integers(0, 256, (M, K)).astype(np.int32)
+qb8 = rng.integers(0, 256, (K, N)).astype(np.int32)
+A8, B8 = digit_pack(jnp.asarray(qa8), 8), digit_pack(jnp.asarray(qb8), 8)
+assert B8.digits.shape[0] == 2
+assert np.array_equal(
+    np.asarray(digit_unpack(digitmm_to_digits(A8, B8, 8))),
+    bitmm_np(qa8, qb8, 8, 8, 8))
+pn, feat, hid, ncls = 1024, 29, 16, 12
+qa = (rng.random((2, pn, pn)) < 0.03).astype(np.int32)
+qx = rng.integers(0, 256, (2, pn, feat)).astype(np.int32)
+qws = [rng.integers(0, 256, s).astype(np.int32)
+       for s in [(feat, hid), (hid, hid), (hid, ncls)]]
+ws8 = [digit_pack(jnp.asarray(w), 8) for w in qws]
+x_stack = np.stack([np.asarray(digit_pack(jnp.asarray(q), 8).digits) for q in qx])
+a_words = np.concatenate([pack_rows_np(q, 1) for q in qa])
+for model, golden in (("gcn", qgcn_golden), ("gin", qgin_golden)):
+    for resident in (True, False):
+        out = fused_model_epoch(
+            jnp.asarray(a_words), jnp.asarray(x_stack), ws8, 8,
+            model=model, resident_a=resident, x_cols=feat)
+        for b in range(2):
+            want = golden(qa[b], qx[b], qws, 8, 8)
+            assert np.array_equal(
+                np.asarray(out[b])[:, :want.shape[1]],
+                want.astype(np.float32)), (model, resident, b)
+print("STACKED-HW-OK")
 """
 
 
@@ -112,3 +144,4 @@ def test_kernels_on_hardware():
     assert "PACKMM-HW-OK" in out
     assert "PACKMM-SPARSE-HW-OK" in out
     assert "MEGA-HW-OK" in out
+    assert "STACKED-HW-OK" in out
