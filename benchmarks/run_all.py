@@ -58,17 +58,32 @@ def main() -> int:
     model = "gin" if args.gin else "gcn"
     rows = []
     from qgtc_ppopp22_tpu.graph.datasets import DEFAULT_PSIZE
+    from qgtc_ppopp22_tpu.utils.metrics import write_csv
+
+    def flush():
+        # Incremental write: a long multi-dataset sweep keeps its
+        # finished rows even if a later config dies or is killed.
+        if args.csv and rows:
+            write_csv(args.csv, rows, list(rows[0].keys()))
 
     for name in args.datasets:
         ds = load_dataset(name, scale=args.scale)
         psize = args.psize or DEFAULT_PSIZE.get(name, 1500)
+        # The structural batch work (densify, RCM, 1-bit A planes,
+        # a_words, zero-tile schedule) is bit-width independent;
+        # build it once and re-pack only X per width (rebit).
+        base_it = ClusterBatcher(
+            ds,
+            psize=psize,
+            batch_size=args.batch_size,
+            bit_width=args.bits[0],
+            cache_dir="./datasets",
+        )
         for bits in args.bits:
-            it = ClusterBatcher(
-                ds,
-                psize=psize,
-                batch_size=args.batch_size,
-                bit_width=bits,
-                cache_dir="./datasets",
+            it = (
+                base_it
+                if bits == args.bits[0]
+                else base_it.rebit(bits)
             )
             eng = QGTCEngine(
                 feat_dim=it.feat_dim,
@@ -96,15 +111,10 @@ def main() -> int:
             )
             rows.append(row)
             print(row, flush=True)
+            flush()
 
         if args.baseline:
-            it = ClusterBatcher(
-                ds,
-                psize=psize,
-                batch_size=args.batch_size,
-                bit_width=2,
-                cache_dir="./datasets",
-            )
+            it = base_it if base_it.bit_width == 2 else base_it.rebit(2)
             beng = BaselineEngine(
                 feat_dim=it.feat_dim,
                 num_classes=ds.num_classes,
@@ -127,11 +137,9 @@ def main() -> int:
             )
             rows.append(row)
             print(row, flush=True)
+            flush()
 
     if args.csv and rows:
-        from qgtc_ppopp22_tpu.utils.metrics import write_csv
-
-        write_csv(args.csv, rows, list(rows[0].keys()))
         print(f"wrote {args.csv}")
     return 0
 

@@ -21,6 +21,7 @@ level 0), so padding changes no real output row.
 
 from __future__ import annotations
 
+import copy
 import dataclasses
 import random
 from typing import List, Optional, Tuple
@@ -156,6 +157,15 @@ class ClusterBatcher:
         self.features = feats
         self.feat_dim = int(feats.shape[1])
 
+        # Hoist the CSR arrays to the contiguous int64 the native
+        # extractor takes ONCE: the disk cache stores indices as
+        # int32 (datasets.py), and converting 61-114M edges inside
+        # every per-batch native call was a ~0.7 s/batch hidden copy
+        # (the whole batcher build cost at ogbn-products scale).
+        self._native = _native_or_none()
+        self._indptr64 = np.ascontiguousarray(g.indptr, np.int64)
+        self._indices64 = np.ascontiguousarray(g.indices, np.int64)
+
         self.par_li: List[np.ndarray] = get_partition_list(
             g,
             psize,
@@ -186,10 +196,10 @@ class ClusterBatcher:
         # extractor binary-searches ``nodes`` (qgtc_native.cpp:283)
         # and requires ascending order — then apply any reordering as
         # a row/col permutation of the dense block.
-        native = _native_or_none()
+        native = self._native
         if native is not None:
             dense_a = native.subgraph_dense_native(
-                g.indptr, g.indices, nodes, pn
+                self._indptr64, self._indices64, nodes, pn
             )
         else:
             dense_a = np.zeros((pn, pn), np.uint8)
@@ -216,40 +226,16 @@ class ClusterBatcher:
             nodes = nodes[perm]
             dense_a[:n, :n] = dense_a[:n, :n][np.ix_(perm, perm)]
 
-        x = np.zeros((pn, self.feat_dim), np.float32)
-        x[:n] = self.features[nodes]
-
         if native is not None:
-            from qgtc_ppopp22_tpu.ops.bitpack import (
-                COL_PAD,
-                ROW_PAD,
-                BitTensor,
-            )
+            from qgtc_ppopp22_tpu.ops.bitpack import BitTensor
 
             a_planes = native.pack_bits_u32_2d(dense_a, 1, pn, pn)
             bit_a = BitTensor(planes=a_planes, shape=(pn, pn), bits=1)
-            qx = native.quantize_native(x, self.quant_bits)
-            if self.quant_bits < self.bit_width:
-                # Narrow-grid wrap: the quant_bits-wide deployment
-                # packs into quant_bits planes, keeping only the low
-                # bits (2^qb wraps to 0, kernel.h:204-242); apply it
-                # here so the wider container is bit-exact to it.
-                qx = qx % (1 << self.quant_bits)
-            xp = round_up(self.feat_dim, COL_PAD)
-            x_planes = native.pack_bits_u32_2d(
-                qx, self.bit_width, round_up(pn, ROW_PAD), xp
-            )
-            bit_x = BitTensor(
-                planes=x_planes,
-                shape=(pn, self.feat_dim),
-                bits=self.bit_width,
-            )
         else:
             bit_a = pack_bits_np(dense_a.astype(np.int32), 1)
-            qx = quantize_np(x, self.quant_bits)
-            if self.quant_bits < self.bit_width:
-                qx = qx % (1 << self.quant_bits)  # narrow-grid wrap
-            bit_x = pack_bits_np(qx, self.bit_width)
+        bit_x = self._pack_x(
+            nodes, n, pn, self.bit_width, self.quant_bits
+        )
         from qgtc_ppopp22_tpu.ops.packmm import (
             build_tile_map_packed_np,
             pack_rows_np,
@@ -267,6 +253,84 @@ class ClusterBatcher:
             tile_kidx=kidx,
             tile_kcnt=kcnt,
         )
+
+    def _pack_x(
+        self,
+        nodes: np.ndarray,
+        n: int,
+        pn: int,
+        bit_width: int,
+        quant_bits: int,
+    ) -> "BitTensor":
+        """Quantize + bit-pack the batch features at ``bit_width``.
+
+        ``nodes`` is the (already reorder-permuted) global-id list the
+        batch stores, so this is exactly the feature work of
+        ``_build_batch`` — the only per-batch cost that depends on the
+        bit width (reference ``val2bit(X, bit_width)``,
+        ``sampler.py:98-106`` role)."""
+        x = np.zeros((pn, self.feat_dim), np.float32)
+        x[:n] = self.features[nodes]
+        native = self._native
+        if native is not None:
+            from qgtc_ppopp22_tpu.ops.bitpack import (
+                COL_PAD,
+                ROW_PAD,
+                BitTensor,
+            )
+
+            qx = native.quantize_native(x, quant_bits)
+            if quant_bits < bit_width:
+                # Narrow-grid wrap: the quant_bits-wide deployment
+                # packs into quant_bits planes, keeping only the low
+                # bits (2^qb wraps to 0, kernel.h:204-242); apply it
+                # here so the wider container is bit-exact to it.
+                qx = qx % (1 << quant_bits)
+            xp = round_up(self.feat_dim, COL_PAD)
+            x_planes = native.pack_bits_u32_2d(
+                qx, bit_width, round_up(pn, ROW_PAD), xp
+            )
+            return BitTensor(
+                planes=x_planes,
+                shape=(pn, self.feat_dim),
+                bits=bit_width,
+            )
+        qx = quantize_np(x, quant_bits)
+        if quant_bits < bit_width:
+            qx = qx % (1 << quant_bits)  # narrow-grid wrap
+        return pack_bits_np(qx, bit_width)
+
+    def rebit(
+        self, bit_width: int, quant_bits: Optional[int] = None
+    ) -> "ClusterBatcher":
+        """A batcher at a different feature bit width, reusing every
+        bit-independent artifact of this one.
+
+        The structural per-batch work — subgraph densification, RCM
+        reordering, 1-bit adjacency planes, packed ``a_words`` and the
+        zero-tile occupancy schedule — does not depend on the feature
+        bit width; only the X quantize+pack does (and it is ~1000x
+        cheaper, milliseconds per batch). Sweeping bit widths with
+        fresh ``ClusterBatcher`` builds re-did all of it per width,
+        which at ogbn-products scale was ~13 min per width."""
+        qb = quant_bits or bit_width
+        if qb > bit_width:
+            raise ValueError(
+                f"quant_bits ({qb}) must be <= bit_width ({bit_width})"
+            )
+        nb = copy.copy(self)
+        nb.bit_width = bit_width
+        nb.quant_bits = qb
+        nb.batches = [
+            dataclasses.replace(
+                b,
+                bit_X=self._pack_x(
+                    b.nodes, b.num_nodes, b.padded_nodes, bit_width, qb
+                ),
+            )
+            for b in self.batches
+        ]
+        return nb
 
     def buckets(self) -> List[int]:
         """Distinct padded node counts (one jit compilation each)."""

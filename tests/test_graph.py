@@ -97,6 +97,31 @@ def test_cluster_batcher_shapes_and_content(rng):
     assert total == ds.num_nodes
 
 
+@pytest.mark.parametrize("bits,qbits", [(1, None), (4, None), (8, None), (4, 2)])
+def test_rebit_matches_fresh_batcher(bits, qbits):
+    # rebit(b) must be bit-identical to building a fresh batcher at b:
+    # same structural artifacts (shared), same re-packed X planes.
+    ds = synthesize("Proteins", scale=0.03, seed=2)
+    base = ClusterBatcher(
+        ds, 8, 2, bit_width=2, seed=0, bucket_rows=256, shuffle=False
+    )
+    fresh = ClusterBatcher(
+        ds, 8, 2, bit_width=bits, quant_bits=qbits, seed=0,
+        bucket_rows=256, shuffle=False,
+    )
+    re = base.rebit(bits, quant_bits=qbits)
+    assert re.bit_width == bits and re.quant_bits == (qbits or bits)
+    assert len(re.batches) == len(fresh.batches)
+    for br, bf in zip(re.batches, fresh.batches):
+        np.testing.assert_array_equal(br.nodes, bf.nodes)
+        np.testing.assert_array_equal(br.bit_A.planes, bf.bit_A.planes)
+        np.testing.assert_array_equal(br.bit_X.planes, bf.bit_X.planes)
+        np.testing.assert_array_equal(br.a_words, bf.a_words)
+        np.testing.assert_array_equal(br.tile_kidx, bf.tile_kidx)
+    # the base batcher itself is untouched
+    assert base.bit_width == 2
+
+
 def test_precalc_doubles_feat_dim():
     ds = synthesize("Proteins", scale=0.02, seed=3)
     it = ClusterBatcher(ds, 4, 2, bit_width=2, precalc=True, shuffle=False)
