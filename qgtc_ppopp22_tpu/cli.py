@@ -72,6 +72,13 @@ def build_parser() -> argparse.ArgumentParser:
                    default="step",
                    help="epoch execution: per-batch dispatch, scanned "
                         "epoch-per-dispatch, or whole-epoch mega kernel")
+    p.add_argument("--mesh", type=str, default=None, metavar="DP,SP",
+                   help="run the packed production engine over a "
+                        "(dp, sp) device mesh (parallel/engine.py): "
+                        "batches shard over dp (each device runs the "
+                        "mega kernel on its shard), adjacency rows "
+                        "over sp (packed ring aggregation). Needs "
+                        "dp*sp <= len(jax.devices()).")
     p.add_argument("--sync-every-epoch", action="store_true",
                    help="per-epoch wall times instead of the "
                         "reference's one-sync-at-end methodology")
@@ -82,7 +89,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval-accuracy", action="store_true")
     p.add_argument("--timing-split", action="store_true",
                    help="report transfer vs compute split (reference "
-                        "cluster_gcn.py per-phase timers)")
+                        "cluster_gcn.py per-phase timers) for the "
+                        "engine selected by --mode")
+    p.add_argument("--quant-in-loop", action="store_true",
+                   help="quantize + bit-pack features ON DEVICE inside "
+                        "the timed epochs (reference cluster_gcn.py "
+                        "in-loop val2bit variant, :181-206) instead of "
+                        "pre-packing at batcher build")
     p.add_argument("--json-out", type=str, default=None)
     p.add_argument("--weights", type=str, default=None,
                    help="load a QAT checkpoint (models/train.py "
@@ -167,19 +180,24 @@ def main(argv=None) -> int:
                     f"F1-mic: {f1['f1_micro']:.4f}, "
                     f"F1-mac: {f1['f1_macro']:.4f}"
                 )
-        print(f"Avg. Epoch: {stats.avg_ms:.3f} ms")
-        record["avg_epoch_ms"] = stats.avg_ms
-        record["epoch_ms"] = stats.epoch_ms
-        record["launch_sync_ms"] = stats.launch_sync_ms
-        line = json.dumps(record)
-        print(line)
-        if args.json_out:
-            with open(args.json_out, "a") as f:
-                f.write(line + "\n")
-        return 0
+        return _emit(record, stats, args)
 
 
     from qgtc_ppopp22_tpu.graph.datasets import DEFAULT_PSIZE
+
+    mesh_dp = mesh_sp = None
+    bucket_rows = args.bucket_rows
+    if args.mesh:
+        try:
+            mesh_dp, mesh_sp = (int(v) for v in args.mesh.split(","))
+        except ValueError:
+            print(f"bad --mesh {args.mesh!r}; expected DP,SP",
+                  file=sys.stderr)
+            return 2
+        if mesh_sp > 1:
+            # each sp shard must hold whole 256-row pack groups
+            need = 256 * mesh_sp
+            bucket_rows = -(-bucket_rows // need) * need
 
     psize = args.psize or DEFAULT_PSIZE.get(ds.name, 1500)
     batcher = ClusterBatcher(
@@ -188,7 +206,7 @@ def main(argv=None) -> int:
         batch_size=args.batch_size,
         bit_width=args.bit_width,
         seed=args.rnd_seed,
-        bucket_rows=args.bucket_rows,
+        bucket_rows=bucket_rows,
         precalc=args.use_pp,
         partition_method=args.partition_method,
         cache_dir=args.cache_dir,
@@ -209,9 +227,75 @@ def main(argv=None) -> int:
         zerotile_jump=args.zerotile_jump,
         resident=args.resident,
         mode=args.mode,
+        mesh=args.mesh,
     )
 
-    if args.regular:
+    if args.mesh and not args.regular:
+        from qgtc_ppopp22_tpu.parallel import MeshEngine
+
+        for flag, name in (
+            (args.resident, "--resident"),
+            (args.mode != "step", "--mode"),
+            (args.fmt != "digits", "--fmt"),
+            (args.timing_split, "--timing-split"),
+        ):
+            if flag:
+                print(
+                    f"warning: {name} has no effect with --mesh (the "
+                    "mesh engine picks mega-per-shard automatically)",
+                    file=sys.stderr,
+                )
+        shifts = None
+        model_name = "gin" if args.run_GIN else "gcn"
+        bit_width, hidden, num_layers = (
+            args.bit_width, args.hidden, args.num_layers
+        )
+        if args.weights:
+            from qgtc_ppopp22_tpu.models.train import load_checkpoint
+
+            ck_ws, shifts, ck_cfg, model_name = load_checkpoint(args.weights)
+            bit_width, hidden, num_layers = (
+                ck_cfg.bit_width, ck_cfg.hidden, ck_cfg.num_layers
+            )
+            print(
+                f"loaded checkpoint: {model_name}, {bit_width}-bit, "
+                f"hidden={hidden}, layers={num_layers}, shifts={shifts}"
+            )
+        eng = MeshEngine(
+            feat_dim=batcher.feat_dim,
+            num_classes=ds.num_classes,
+            dp=mesh_dp,
+            sp=mesh_sp,
+            model=model_name,
+            bit_width=bit_width,
+            hidden=hidden,
+            num_layers=num_layers,
+            seed=args.rnd_seed,
+            shifts=shifts,
+            zerotile_jump=args.zerotile_jump,
+        )
+        if args.weights:
+            from qgtc_ppopp22_tpu.models.qmodels import pack_weights
+
+            eng.float_weights = list(ck_ws)
+            eng.weights = pack_weights(ck_ws, bit_width, fmt="digits")
+        record["engine"] = f"qgtc-mesh-dp{mesh_dp}-sp{mesh_sp}"
+        stats = eng.run_epochs(
+            batcher, n_epochs=args.n_epochs,
+            sync_every_epoch=args.sync_every_epoch,
+        )
+        record["mesh_modes"] = [
+            "mega" if s[4] else "ring" for s in eng._staged
+        ]
+        print(
+            f"mesh dp={mesh_dp} sp={mesh_sp}: bucket modes "
+            f"{record['mesh_modes']}"
+        )
+        if args.eval_accuracy:
+            acc = eng.evaluate(batcher, ds.labels)
+            record["accuracy"] = acc
+            print(f"accuracy: {acc:.4f}")
+    elif args.regular:
         eng = BaselineEngine(
             feat_dim=batcher.feat_dim,
             num_classes=ds.num_classes,
@@ -277,7 +361,7 @@ def main(argv=None) -> int:
                 ck_ws, bit_width,
                 fmt="digits" if args.fmt == "digits" else "bits",
             )
-        if args.mode == "step":
+        if args.mode == "step" and not args.quant_in_loop:
             t0 = time.perf_counter()
             eng.warmup(batcher)
             print(f"[t] warmup/compile: {time.perf_counter()-t0:.1f}s")
@@ -285,7 +369,14 @@ def main(argv=None) -> int:
         if args.profile_dir:
             prof = jax.profiler.trace(args.profile_dir)
             prof.__enter__()
-        if args.mode == "mega":
+        if args.quant_in_loop:
+            # reference cluster_gcn.py in-loop val2bit variant
+            record["quant_in_loop"] = True
+            stats = eng.run_epochs_quant_in_loop(
+                batcher, n_epochs=args.n_epochs,
+                sync_every_epoch=args.sync_every_epoch,
+            )
+        elif args.mode == "mega":
             stats = eng.run_epochs_mega(
                 batcher, n_epochs=args.n_epochs,
                 sync_every_epoch=args.sync_every_epoch,
@@ -318,20 +409,32 @@ def main(argv=None) -> int:
                 f"(jumped {1 - processed / max(total, 1):.1%})"
             )
         if args.timing_split:
-            # transfer+compute (reference boundary) vs compute-only
-            both = eng.run_epochs(
-                batcher, n_epochs=max(args.n_epochs // 2, 2),
-                resident=False,
-            ).avg_ms
-            comp = eng.run_epochs(
-                batcher, n_epochs=max(args.n_epochs // 2, 2),
-                resident=True,
-            ).avg_ms
-            record["transfer_ms"] = round(max(both - comp, 0.0), 3)
+            # Split the engine ACTUALLY reported by --mode (round-2
+            # always split the step engine, so the printed split did
+            # not describe the headline next to it).
+            if args.mode == "step" and not args.quant_in_loop:
+                # transfer+compute (reference boundary) vs compute-only
+                both = eng.run_epochs(
+                    batcher, n_epochs=max(args.n_epochs // 2, 2),
+                    resident=False,
+                ).avg_ms
+                comp = eng.run_epochs(
+                    batcher, n_epochs=max(args.n_epochs // 2, 2),
+                    resident=True,
+                ).avg_ms
+                transfer = max(both - comp, 0.0)
+            else:
+                # fused/mega/quant-in-loop epochs are resident by
+                # construction: their headline IS compute; transfer is
+                # the measured packed-payload H2D wall per epoch.
+                comp = stats.avg_ms
+                transfer = eng.measure_transfer_ms(batcher)
+            record["transfer_ms"] = round(transfer, 3)
             record["compute_ms"] = round(comp, 3)
             print(
-                f"timing split: transfer {record['transfer_ms']:.2f} ms, "
-                f"compute {record['compute_ms']:.2f} ms per epoch"
+                f"timing split ({args.mode}): transfer "
+                f"{record['transfer_ms']:.2f} ms, compute "
+                f"{record['compute_ms']:.2f} ms per epoch"
             )
         if args.eval_accuracy:
             acc = eng.evaluate(batcher, ds.labels)
@@ -345,7 +448,12 @@ def main(argv=None) -> int:
                     f"F1-mac: {f1['f1_macro']:.4f}"
                 )
 
-    # Reference print format (main_qgtc.py:157-159).
+    return _emit(record, stats, args)
+
+
+def _emit(record: dict, stats, args) -> int:
+    """The ONE record/print/JSON tail every engine shares (reference
+    print format ``main_qgtc.py:157-159`` + structured record)."""
     print(f"Avg. Epoch: {stats.avg_ms:.3f} ms")
     record["avg_epoch_ms"] = stats.avg_ms
     record["epoch_ms"] = stats.epoch_ms

@@ -185,6 +185,34 @@ def _dense_batches(dataset: GraphDataset, batcher: ClusterBatcher):
     return out
 
 
+def _grouped_stacks(dataset: GraphDataset, batcher: ClusterBatcher):
+    """Dense batches stacked per shape bucket for scanned epochs.
+
+    Adjacencies stay uint8 on device (cast in-graph): a whole epoch's
+    dense A at f32 would be GBs at large buckets; uint8 is 4x smaller
+    and the cast fuses into the matmul's operand read."""
+    groups: dict = {}
+    for b in batcher.batches:
+        groups.setdefault(b.padded_nodes, []).append(b)
+    out = []
+    for pn, bs in groups.items():
+        A = np.zeros((len(bs), pn, pn), np.uint8)
+        X = np.zeros((len(bs), pn, batcher.feat_dim), np.float32)
+        L = np.zeros((len(bs), pn), np.int32)
+        M = np.zeros((len(bs), pn), np.float32)
+        for i, b in enumerate(bs):
+            n = b.num_nodes
+            A[i, :n, :n] = dataset.graph.subgraph_dense(b.nodes)
+            X[i, :n] = batcher.features[b.nodes]
+            labels, mask = batch_labels(dataset, b)
+            L[i] = labels
+            M[i] = mask.astype(np.float32)
+        out.append(
+            (jnp.asarray(A), jnp.asarray(X), jnp.asarray(L), jnp.asarray(M))
+        )
+    return out
+
+
 def train_float_twin(
     dataset: GraphDataset,
     batcher: ClusterBatcher,
@@ -217,57 +245,78 @@ def train_float_twin(
 
     shifts_t = tuple(shifts) if shifts is not None else None
 
-    @jax.jit
-    def step(ws, opt_state, a, x, labels, mask):
-        def loss_fn(ws):
-            logits = float_twin_forward(
-                a, x, ws, bit_width, mname, shifts_t, ste=ste
-            )
-            # Temperature-normalize for the loss only (argmax and the
-            # deployed engine are unaffected): integer-domain logits
-            # reach thousands and saturate softmax gradients.
-            tau = jnp.maximum(
-                jax.lax.stop_gradient(jnp.std(logits)), 1.0
-            )
-            logp = jax.nn.log_softmax(logits / tau, axis=-1)
-            nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
-            return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
-
-        loss, grads = jax.value_and_grad(loss_fn)(ws)
-        updates, opt_state = opt.update(grads, opt_state)
-        ws = optax.apply_updates(ws, updates)
-        # Project to [0, 2^bits - 0.51]: a weight that rounds to the
-        # level 2^bits would WRAP TO 0 at pack time (kernel.h:226-229)
-        # -- catastrophic under STE rounding.
-        ws = [jnp.clip(w, 0.0, ub - 0.51) for w in ws]
-        return ws, opt_state, loss
-
-    @jax.jit
-    def acc_fn(ws, a, x, labels, mask):
+    def batch_loss(ws, a, x, labels, mask):
         logits = float_twin_forward(
             a, x, ws, bit_width, mname, shifts_t, ste=ste
         )
-        pred = jnp.argmax(logits, axis=-1)
-        return jnp.sum((pred == labels) * mask), jnp.sum(mask)
+        # Temperature-normalize for the loss only (argmax and the
+        # deployed engine are unaffected): integer-domain logits
+        # reach thousands and saturate softmax gradients.
+        tau = jnp.maximum(jax.lax.stop_gradient(jnp.std(logits)), 1.0)
+        logp = jax.nn.log_softmax(logits / tau, axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+        return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
 
-    data = _dense_batches(dataset, batcher)
-    for ep in range(epochs):
-        total_loss = 0.0
-        for a, x, labels, mask in data:
-            ws, opt_state, loss = step(
-                ws, opt_state, a, x, jnp.asarray(labels),
-                jnp.asarray(mask),
+    # One dispatch per EPOCH: the per-batch SGD steps run inside a
+    # lax.scan per shape bucket with (ws, opt_state) as carry. The old
+    # per-batch jitted step paid one tunnel round-trip per batch
+    # (75/epoch x dozens of epochs x 8 seeds x 4 widths across the
+    # ladder — the accuracy campaign's binding cost, VERDICT r2 #4/#7).
+    @jax.jit
+    def epoch_fn(ws, opt_state, groups):
+        total = jnp.zeros(())
+
+        def body(carry, batch):
+            ws, opt_state, tot = carry
+            a8, x, labels, mask = batch
+            loss, grads = jax.value_and_grad(batch_loss)(
+                ws, a8.astype(jnp.float32), x, labels, mask
             )
-            total_loss += float(loss)
-        if verbose:
-            print(f"epoch {ep}: loss {total_loss / len(data):.4f}")
+            updates, opt_state = opt.update(grads, opt_state)
+            ws = optax.apply_updates(ws, updates)
+            # Project to [0, 2^bits - 0.51]: a weight that rounds to
+            # the level 2^bits would WRAP TO 0 at pack time
+            # (kernel.h:226-229) -- catastrophic under STE rounding.
+            ws = [jnp.clip(w, 0.0, ub - 0.51) for w in ws]
+            return (ws, opt_state, tot + loss), None
 
-    correct = total = 0.0
-    for a, x, labels, mask in data:
-        c, t = acc_fn(ws, a, x, jnp.asarray(labels), jnp.asarray(mask))
-        correct += float(c)
-        total += float(t)
-    return ws, correct / max(total, 1.0)
+        for g in groups:
+            (ws, opt_state, total), _ = jax.lax.scan(
+                body, (ws, opt_state, total), g
+            )
+        return ws, opt_state, total
+
+    @jax.jit
+    def acc_all(ws, groups):
+        c = t = jnp.zeros(())
+
+        def body(carry, batch):
+            c, t = carry
+            a8, x, labels, mask = batch
+            logits = float_twin_forward(
+                a8.astype(jnp.float32), x, ws, bit_width, mname,
+                shifts_t, ste=ste,
+            )
+            pred = jnp.argmax(logits, axis=-1)
+            return (
+                c + jnp.sum((pred == labels) * mask), t + jnp.sum(mask)
+            ), None
+
+        for g in groups:
+            (c, t), _ = jax.lax.scan(body, (c, t), g)
+        return c, t
+
+    groups = tuple(_grouped_stacks(dataset, batcher))
+    n_batches = sum(int(g[0].shape[0]) for g in groups)
+    for ep in range(epochs):
+        ws, opt_state, total_loss = epoch_fn(ws, opt_state, groups)
+        if verbose:
+            print(
+                f"epoch {ep}: loss {float(total_loss) / n_batches:.4f}"
+            )
+
+    c, t = acc_all(ws, groups)
+    return [jnp.asarray(w) for w in ws], float(c) / max(float(t), 1.0)
 
 
 def quantized_accuracy(

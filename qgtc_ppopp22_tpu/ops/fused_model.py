@@ -187,6 +187,7 @@ def fused_model_epoch(
     chunk_occ: Optional[jax.Array] = None,  # int32[B, nch] or [B, nch, nj]
     out_cols: Optional[int] = None,
     x_cols: Optional[int] = None,
+    x_levels_bits: Optional[int] = None,
 ) -> jax.Array:
     """Run the full model over every stacked batch in ONE pallas call.
 
@@ -226,6 +227,16 @@ def fused_model_epoch(
     Build occupancy host-side at pack time (``runtime.mega_chunk_occ``
     / ``runtime.mega_block_occ``).
 
+    ``x_levels_bits``: when set, ``x_stack`` is int8[B, 1, pn, xp]
+    **levels** (the full multi-digit value in one byte, bit pattern of
+    the 0..255 level) instead of separate digit planes, and the kernel
+    splits the base-16 digits on the VPU after the DMA. A >4-bit X
+    then crosses HBM once at 1 byte/value instead of twice at
+    1 byte/digit — the dominant remaining HBM term of 8-bit epochs
+    (the packed-everything analog of the reference hot loop,
+    ``kernel.h:301-335``). Exact: the digit split is pure integer
+    algebra.
+
     ``x_cols``: real (unpadded) feature width. 8-bit operands carry
     TWO base-16 digit planes; at the benchmark's narrow widths
     (hidden 16/64, classes <= 47) both planes of a matrix fit side by
@@ -246,8 +257,19 @@ def fused_model_epoch(
     if model not in ("gcn", "gin"):
         raise ValueError(model)
     interpret = _interpret_default() if interpret is None else interpret
+    if x_levels_bits is not None and nd_x != 1:
+        raise ValueError(
+            f"x_levels_bits given but x_stack has {nd_x} planes"
+        )
+    # VMEM plan: levels-form X budgets one extra plane beyond its
+    # split digit count (the transient int32 temp + digit planes the
+    # in-kernel split materializes).
+    nd_x_plan = (
+        num_digits(x_levels_bits) + 1 if x_levels_bits is not None
+        else nd_x
+    )
     resident_a, unpack_once = mega_vmem_plan(
-        pn, nd_x, xp, ws, out_cols=out_cols, resident_a=resident_a
+        pn, nd_x_plan, xp, ws, out_cols=out_cols, resident_a=resident_a
     )
     chunk = next(
         (c for c in (512, 256) if c <= pn and pn % c == 0), None
@@ -315,19 +337,43 @@ def fused_model_epoch(
             )
     cb = pn // nj
 
+    x_split = x_levels_bits is not None
+
     def kernel(occ_ref, x_ref, *rest):
         ws_refs = rest[:n_layers]
+        rest_s = list(rest[n_layers:])
+        a_hbm, o_ref, a_vmem = rest_s[0], rest_s[1], rest_s[2]
+        idx = 3
+        a8_vmem = xs_vmem = None
         if unpack_once:
-            a_hbm, o_ref, a_vmem, a8_vmem, acc_ref, sem = rest[n_layers:]
-        else:
-            a_hbm, o_ref, a_vmem, acc_ref, sem = rest[n_layers:]
+            a8_vmem = rest_s[idx]; idx += 1
+        if x_split:
+            xs_vmem = rest_s[idx]; idx += 1
+        acc_ref, sem = rest_s[idx], rest_s[idx + 1]
         b = pl.program_id(0)
         seen_a = [False]  # becomes True once A is fully in VMEM
 
         def kroll(v, k):  # lane roll (Mosaic lane rotate)
             return pltpu.roll(v, shift=k, axis=v.ndim - 1)
 
-        x_digits = [x_ref[0, d] for d in range(nd_x)]
+        if not x_split:
+            x_digits = [x_ref[0, d] for d in range(nd_x)]
+        else:
+            # Split base-16 digits from the byte levels on the VPU
+            # (int32 temp — an int8 shift would sign-extend levels
+            # >= 128), then round-trip through the i8 VMEM scratch:
+            # Mosaic lowers i8 arithmetic (the lane-stack add, the
+            # MXU feed) only on ref-loaded i8 vectors, not on values
+            # still in the i32-chain layout (probed on HW).
+            xl = x_ref[0, 0].astype(jnp.int32) & 255
+            for d in range(num_digits(x_levels_bits)):
+                width = min(DIGIT_BITS, x_levels_bits - d * DIGIT_BITS)
+                xs_vmem[d] = (
+                    (xl >> (d * DIGIT_BITS)) & ((1 << width) - 1)
+                ).astype(jnp.int8)
+            x_digits = [
+                xs_vmem[d] for d in range(num_digits(x_levels_bits))
+            ]
         w_digits = [
             [w_ref[d] for d in range(w_ref.shape[0])] for w_ref in ws_refs
         ]
@@ -649,6 +695,14 @@ def fused_model_epoch(
         + (
             [pltpu.VMEM((pn, pn), jnp.int8)]  # unpacked-once int8 A
             if unpack_once
+            else []
+        )
+        + (
+            # in-kernel digit split of levels-form X (see kernel)
+            [pltpu.VMEM(
+                (num_digits(x_levels_bits), pn, xp), jnp.int8
+            )]
+            if x_split
             else []
         )
         + [

@@ -59,6 +59,7 @@ __all__ = [
     "pack_digit_tensor",
     "unpack_rows",
     "packmm_to_f32",
+    "packmm_to_i32",
     "packmm_to_digits",
     "packmm_to_packed",
     "build_tile_map_packed",
@@ -365,6 +366,7 @@ def _packmm(
     interpret: Optional[bool],
     tiles: Optional[tuple],
     shift: int,
+    raw_i32: bool = False,
 ):
     interpret = _interpret_default() if interpret is None else interpret
     M, Ka = a.shape
@@ -515,7 +517,7 @@ def _packmm(
                     lambda v, k: pltpu.roll(v, shift=k, axis=v.ndim - 1),
                 )
             if out_bits is None:
-                o_ref[:] = acc.astype(jnp.float32)
+                o_ref[:] = acc if raw_i32 else acc.astype(jnp.float32)
                 return
             r = _requant(acc, out_bits, shift)
             if out_form == "digits":
@@ -548,7 +550,9 @@ def _packmm(
         )
 
     if out_bits is None:
-        out_shape = jax.ShapeDtypeStruct((mp, np_), jnp.float32)
+        out_shape = jax.ShapeDtypeStruct(
+            (mp, np_), jnp.int32 if raw_i32 else jnp.float32
+        )
         out_spec = pl.BlockSpec(
             (tm, tn), lambda i, j, t, *_: (i, j), memory_space=pltpu.VMEM
         )
@@ -611,6 +615,22 @@ def packmm_to_f32(
     """Packed-A GEMM, float32 output (``bitMM2Int`` role,
     ``kernel.h:816-1054``)."""
     return _packmm(a, b, None, "f32", tile_map, interpret, tiles, 0)
+
+
+def packmm_to_i32(
+    a: PackedTensor,
+    b: DigitTensor,
+    tile_map: Optional[TileMap] = None,
+    interpret: Optional[bool] = None,
+    tiles: Optional[tuple] = None,
+) -> jnp.ndarray:
+    """Packed-A GEMM, raw int32 accumulator output.
+
+    For partial sums combined *outside* the kernel (the packed ring
+    aggregation shards, ``parallel/packed.py``): int32 end to end, so
+    exactness never depends on the f32 24-bit mantissa bound."""
+    return _packmm(a, b, None, "f32", tile_map, interpret, tiles, 0,
+                   raw_i32=True)
 
 
 def packmm_to_digits(

@@ -12,3 +12,9 @@ from qgtc_ppopp22_tpu.parallel.multihost import (
     initialize,
     pod_mesh,
 )
+from qgtc_ppopp22_tpu.parallel.packed import (
+    dp_mega_epoch_packed,
+    dp_sp_epoch_packed,
+    shard_packed_batches,
+)
+from qgtc_ppopp22_tpu.parallel.engine import MeshEngine, x_digits_np

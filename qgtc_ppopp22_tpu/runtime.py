@@ -147,6 +147,7 @@ class QGTCEngine:
             )
 
         self._step = jax.jit(step)
+        self._epoch_fn_cache: dict = {}
 
     # -- single batch ---------------------------------------------------
 
@@ -261,8 +262,13 @@ class QGTCEngine:
         Per-step dispatch over a remote link costs ~0.5 ms; at 75
         cluster batches that dwarfs the ~50 us of GEMM work per batch
         (measured: 45-50 ms/epoch stepwise). Scanning the whole epoch
-        inside one jit removes all but one dispatch.
+        inside one jit removes all but one dispatch. Cached per
+        (pn, xshape) so repeated eval sweeps retrace nothing.
         """
+        key = (pn, tuple(xshape))
+        cached = self._epoch_fn_cache.get(key)
+        if cached is not None:
+            return cached
         bit_width = self.bit_width
         out_bits = self.clamp_bits
         fwd = qgcn_forward if self.model == "gcn" else qgin_forward
@@ -290,7 +296,9 @@ class QGTCEngine:
             _, outs = jax.lax.scan(body, 0, stacks)
             return outs
 
-        return jax.jit(epoch)
+        fn = jax.jit(epoch)
+        self._epoch_fn_cache[key] = fn
+        return fn
 
     def run_epochs_fused(
         self,
@@ -335,6 +343,103 @@ class QGTCEngine:
             device_fn=epoch_all,
             device_args=(tuple(st for _, st in staged), ws),
         )
+
+    # -- in-loop quantization epochs (cluster_gcn.py:181-206 role) ------
+
+    def run_epochs_quant_in_loop(
+        self,
+        batcher: ClusterBatcher,
+        n_epochs: int = 20,
+        sync_every_epoch: bool = False,
+    ) -> EpochStats:
+        """Epochs that quantize + bit-pack X ON DEVICE inside the timed
+        region — the reference's variant driver boundary
+        (``cluster_gcn.py:181-182,205-206``: ``val2bit`` per batch in
+        the loop, quantization NOT pre-packed). Float features enter
+        the scan; each step pays quantize -> bit-pack -> digit convert
+        before its forward chain. One dispatch per epoch (scan), so the
+        measured delta vs :meth:`run_epochs_fused` is exactly the
+        in-loop quantization cost."""
+        if self.fmt != "digits":
+            raise ValueError("quant-in-loop mode requires fmt='digits'")
+        from qgtc_ppopp22_tpu.ops.bitpack import pack_bits
+        from qgtc_ppopp22_tpu.ops.quantize import quantize
+
+        ws = tuple(self.weights)
+        bit_width = self.bit_width
+        out_bits = self.clamp_bits
+        fwd = qgcn_forward if self.model == "gcn" else qgin_forward
+        shifts_t = self.shifts
+        feats = batcher.features
+        staged = []
+        for key, bs, a_stack, _x, kidx, kcnt in self._fused_groups(batcher):
+            pn = key[0]
+            xf = np.zeros((len(bs), pn, batcher.feat_dim), np.float32)
+            for i, b in enumerate(bs):
+                xf[i, : b.num_nodes] = feats[b.nodes]
+
+            def one(scanned, w_):
+                aw, x_float = scanned[:2]
+                a = PackedTensor(words=aw, shape=(pn, pn), bits=1)
+                x = to_digit_tensor(pack_bits(
+                    quantize(x_float, bit_width), bit_width
+                ))
+                tm = None
+                if len(scanned) == 4:
+                    tm = TileMap(kidx=scanned[2], kcnt=scanned[3],
+                                 tile_m=PACK_GROUP, tile_k=256)
+                return fwd(a, x, w_, out_bits=out_bits, tile_map=tm,
+                           shifts=shifts_t)
+
+            @jax.jit
+            def epoch(stacks, w_):
+                def body(carry, scanned):
+                    return carry, one(scanned, w_)
+
+                _, outs = jax.lax.scan(body, 0, stacks)
+                return outs
+
+            stacks = (jax.device_put(a_stack), jax.device_put(xf))
+            if self.zerotile_jump and kidx is not None:
+                stacks += (jax.device_put(kidx), jax.device_put(kcnt))
+            _sync(epoch(stacks, ws))  # compile + warm
+            staged.append((epoch, stacks))
+
+        def one_epoch():
+            out = None
+            for fn, stacks in staged:
+                out = fn(stacks, ws)
+            return out
+
+        fns = [fn for fn, _ in staged]
+
+        def epoch_all(stacks_list, w_):
+            # every bucket returned (DCE guard, see run_epochs_fused)
+            return tuple(fn(st, w_) for fn, st in zip(fns, stacks_list))
+
+        return _timed_epochs(
+            one_epoch, n_epochs, len(batcher), sync_every_epoch,
+            device_fn=epoch_all,
+            device_args=(tuple(st for _, st in staged), ws),
+        )
+
+    def measure_transfer_ms(
+        self, batcher: ClusterBatcher, n_rounds: int = 3
+    ) -> float:
+        """Wall time to ship one epoch's packed payload host->device
+        (the reference's per-step ``cluster.cuda()`` boundary,
+        ``main_qgtc.py:115``, measured in isolation). Minimum over
+        ``n_rounds`` (transfer is deterministic; min rejects scheduler
+        noise)."""
+        times = []
+        for _ in range(n_rounds):
+            t0 = time.perf_counter()
+            last = None
+            for b in batcher.batches:
+                last = self.put_batch(b)
+            _sync(last)
+            times.append((time.perf_counter() - t0) * 1e3)
+        return min(times)
 
     # -- mega-kernel epoch: whole model chain in one pallas call --------
 
@@ -396,6 +501,19 @@ class QGTCEngine:
                         (B_,) + px.shape[1:], jnp.int8
                     )
                 x_stack = fill_x(x_stack, px, i)
+            # Multi-digit X collapses to byte LEVELS (one plane): the
+            # mega kernel splits the digits in-VMEM after the DMA, so
+            # >4-bit features cross HBM once per batch instead of once
+            # per digit plane (the dominant 8-bit epoch overhead).
+            x_levels_bits = None
+            if x_stack.shape[1] == 2:
+                x_levels_bits = bw
+                x_stack = jax.jit(
+                    lambda xs: (
+                        xs[:, 0].astype(jnp.int32)
+                        | (xs[:, 1].astype(jnp.int32) << 4)
+                    ).astype(jnp.int8)[:, None]
+                )(x_stack)
             shifts_t = self.shifts
             # Measured regime split (results/zero_tile*.csv): in the
             # VMEM-RESIDENT kernel A crosses HBM once per batch, so
@@ -413,8 +531,14 @@ class QGTCEngine:
                         mega_vmem_plan,
                     )
 
+                    # same plan geometry the kernel itself will use
+                    # (levels-form X budgets digit-split transients)
+                    nd_plan = (
+                        3 if x_levels_bits is not None
+                        else x_stack.shape[1]
+                    )
                     plan_res, _ = mega_vmem_plan(
-                        pn_, x_stack.shape[1], x_stack.shape[3], ws,
+                        pn_, nd_plan, x_stack.shape[3], ws,
                         out_cols=self.cfg.out_dim,
                         resident_a=resident_a,
                     )
@@ -445,7 +569,8 @@ class QGTCEngine:
                     # is never a regression.
                     if 1.0 - occ_np.mean() >= 0.02:
                         occ = jax.device_put(occ_np)
-            def mega_fn(t, w_, with_occ=occ is not None):
+            def mega_fn(t, w_, with_occ=occ is not None,
+                        xlb=x_levels_bits):
                 return fused_model_epoch(
                     t[0], t[1], w_, clamp_bits, model=model,
                     shifts=shifts_t,
@@ -453,6 +578,7 @@ class QGTCEngine:
                     out_cols=self.cfg.out_dim,
                     resident_a=resident_a,
                     x_cols=self.cfg.in_dim,
+                    x_levels_bits=xlb,
                 )
 
             mega_args = (a_stack, x_stack) + (
@@ -506,11 +632,37 @@ class QGTCEngine:
 
     # -- accuracy -------------------------------------------------------
 
+    def forward_all(self, batcher: ClusterBatcher) -> List[np.ndarray]:
+        """Logits for EVERY batch with one dispatch per shape bucket
+        (the scanned epoch function), not one per batch.
+
+        Round 2's evaluation paid ~75 tunnel round-trips per eval call
+        — seconds per accuracy-frontier cell, the binding cost of the
+        8-seed ladder sweeps. Requires ``fmt='digits'``."""
+        ws = tuple(self.weights)
+        out: dict = {}
+        for key, bs, a_stack, x_stack, kidx, kcnt in self._fused_groups(
+            batcher
+        ):
+            fn = self._fused_epoch_fn(key[0], bs[0].bit_X.shape)
+            stacks = (jax.device_put(a_stack), jax.device_put(x_stack))
+            if kidx is not None:
+                stacks += (jax.device_put(kidx), jax.device_put(kcnt))
+            res = np.asarray(jax.device_get(fn(stacks, ws)))
+            for i, b in enumerate(bs):
+                out[id(b)] = res[i]
+        return [out[id(b)] for b in batcher.batches]
+
     def evaluate(self, batcher: ClusterBatcher, labels: np.ndarray) -> float:
         """Masked node-classification accuracy over all batches."""
         correct = total = 0
-        for batch in batcher.batches:
-            logits = np.asarray(self.forward_batch(batch))
+        if self.fmt == "digits":
+            logits_list = self.forward_all(batcher)
+        else:
+            logits_list = [
+                np.asarray(self.forward_batch(b)) for b in batcher.batches
+            ]
+        for batch, logits in zip(batcher.batches, logits_list):
             pred = logits[: batch.num_nodes].argmax(axis=1)
             lab = labels[batch.nodes]
             correct += int((pred == lab).sum())
@@ -530,8 +682,13 @@ class QGTCEngine:
         lattice cannot express).
         """
         logit_rows, label_rows = [], []
-        for batch in batcher.batches:
-            logits = np.asarray(self.forward_batch(batch))
+        if self.fmt == "digits":
+            logits_list = self.forward_all(batcher)
+        else:
+            logits_list = [
+                np.asarray(self.forward_batch(b)) for b in batcher.batches
+            ]
+        for batch, logits in zip(batcher.batches, logits_list):
             logit_rows.append(logits[: batch.num_nodes])
             label_rows.append(multilabels[batch.nodes])
         return _threshold_f1(

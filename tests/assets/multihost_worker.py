@@ -37,3 +37,38 @@ with mesh:
 ref = np.asarray(qgcn_forward(a, x, ws, out_bits=bits))
 ok = out_local.shape[0] == B and all(np.array_equal(out_local[i], ref[:n,:128]) for i in range(B))
 print(f"p{pid}: MULTIHOST-{'OK' if ok else 'FAIL'} out={out_local.shape}", flush=True)
+
+# --- packed MeshEngine EPOCH RUN across the 2 processes ------------
+# Staging goes through host_batch_slice (each process materializes
+# only its round-robin share of every stacked bucket; the global
+# arrays are assembled shard-wise via
+# jax.make_array_from_process_local_data — see MeshEngine._put), and
+# several epochs run before the single gather, exercising the
+# production multi-host execution path, not just one forward.
+from qgtc_ppopp22_tpu.graph import ClusterBatcher, synthesize
+from qgtc_ppopp22_tpu.parallel import MeshEngine
+from qgtc_ppopp22_tpu.runtime import QGTCEngine
+
+ds = synthesize("Proteins", scale=0.05, seed=0)
+batcher = ClusterBatcher(ds, psize=8, batch_size=2, bit_width=2,
+                         shuffle=False)
+eng = MeshEngine(batcher.feat_dim, ds.num_classes, dp=8, sp=1,
+                 model="gcn", bit_width=2, seed=0)
+eng.stage(batcher)
+out = None
+for _ in range(3):
+    out = eng._epoch_all(eng._all_args, eng._ws)
+gath = [np.asarray(jax.experimental.multihost_utils.process_allgather(
+            o, tiled=True)) for o in out]
+ref_eng = QGTCEngine(batcher.feat_dim, ds.num_classes, model="gcn",
+                     bit_width=2, seed=0)
+ok2 = True
+for (fn, args, bs, pn, use_mega), g in zip(eng._staged, gath):
+    for i, b in enumerate(bs):
+        r = np.asarray(ref_eng.forward_batch(b))
+        o = g[i][: b.num_nodes, : eng.cfg.out_dim]
+        ok2 = ok2 and np.array_equal(
+            r[: b.num_nodes, : eng.cfg.out_dim], o)
+modes = ["mega" if s[4] else "ring" for s in eng._staged]
+print(f"p{pid}: MESH-EPOCH-{'OK' if ok2 else 'FAIL'} modes={modes}",
+      flush=True)

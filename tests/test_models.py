@@ -386,6 +386,62 @@ def test_mega_kernel_lane_stacking_exact(rng):
                         )
 
 
+def test_mega_kernel_x_levels_exact(rng):
+    """Levels-form X (int8 byte levels, ONE plane; the kernel splits
+    base-16 digits in-VMEM after the DMA — halves >4-bit feature HBM
+    traffic) must be bit-exact vs the digit-plane form for GCN and GIN,
+    resident and streaming, with shifts, x_cols and zero-block maps."""
+    from qgtc_ppopp22_tpu.ops.digits import digit_pack
+    from qgtc_ppopp22_tpu.ops.fused_model import (
+        fused_model_epoch,
+        mega_colblock,
+    )
+    from qgtc_ppopp22_tpu.ops.packmm import pack_rows_np
+    from qgtc_ppopp22_tpu.runtime import mega_block_occ
+
+    pn, feat, ncls = 512, 29, 12
+    for bits, hid, shifts in ((8, 16, None), (6, 64, [1, 2, 1, 2, 1])):
+        qa = (rng.random((2, pn, pn)) < 0.05).astype(np.int32)
+        qx = rng.integers(0, 1 << bits, (2, pn, feat)).astype(np.int32)
+        qws = [
+            rng.integers(0, 1 << bits, s).astype(np.int32)
+            for s in [(feat, hid), (hid, hid), (hid, ncls)]
+        ]
+        ws = [digit_pack(jnp.asarray(w), bits) for w in qws]
+        x_dig = np.stack(
+            [np.asarray(digit_pack(jnp.asarray(q), bits).digits) for q in qx]
+        )
+        assert x_dig.shape[1] == 2
+        # byte levels: digit0 | digit1 << 4, one plane
+        x_lvl = (
+            x_dig[:, 0].astype(np.int32) | (x_dig[:, 1].astype(np.int32) << 4)
+        ).astype(np.int8)[:, None]
+        a_words = np.concatenate([pack_rows_np(q, 1) for q in qa])
+        occ = np.stack(
+            [mega_block_occ(w[None], 512, mega_colblock(pn)) for w in a_words]
+        )
+        for model, golden in (("gcn", qgcn_golden), ("gin", qgin_golden)):
+            want = [
+                golden(qa[b], qx[b], qws, bits, bits, shifts=shifts)
+                for b in range(2)
+            ]
+            for resident in (True, False):
+                for kw in (
+                    dict(x_cols=feat),
+                    dict(x_cols=feat, chunk_occ=jnp.asarray(occ)),
+                ):
+                    out = fused_model_epoch(
+                        jnp.asarray(a_words), jnp.asarray(x_lvl), ws,
+                        bits, model=model, shifts=shifts,
+                        resident_a=resident, x_levels_bits=bits, **kw,
+                    )
+                    for b in range(2):
+                        np.testing.assert_array_equal(
+                            np.asarray(out[b])[:, : want[b].shape[1]],
+                            want[b].astype(np.float32),
+                        )
+
+
 def test_mega_kernel_sliced_logit_store(rng):
     """out_cols stores only the real class columns: values equal the
     full-width output's prefix for every mode x model (the weight

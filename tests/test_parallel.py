@@ -106,6 +106,69 @@ print("RING-8BIT-OK")
 """
 
 
+PACKED_CODE = r"""
+import numpy as np, jax, jax.numpy as jnp
+from qgtc_ppopp22_tpu.graph import ClusterBatcher, synthesize
+from qgtc_ppopp22_tpu.runtime import QGTCEngine
+from qgtc_ppopp22_tpu.parallel import MeshEngine, dp_sp_epoch_packed, make_mesh
+from qgtc_ppopp22_tpu.models.qmodels import qgcn_forward
+from qgtc_ppopp22_tpu.ops.digits import digit_pack
+from qgtc_ppopp22_tpu.ops.packmm import pack_rows_np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+# --- functional layer: packed ring step vs single-device forward ---
+rng = np.random.default_rng(0)
+for bits in (2, 8):
+    n, d, hid, cls = 1024, 128, 64, 128
+    qa = (rng.random((n, n)) < 0.01).astype(np.int32)
+    qx = rng.integers(0, 1 << bits, (n, d)).astype(np.int32)
+    qws = [rng.integers(0, 1 << bits, s).astype(np.int32)
+           for s in [(d, hid), (hid, hid), (hid, cls)]]
+    x = digit_pack(jnp.asarray(qx), bits)
+    ws = [digit_pack(jnp.asarray(w), bits) for w in qws]
+    a = digit_pack(jnp.asarray(qa), 1)
+    ref = np.asarray(qgcn_forward(a, x, ws, out_bits=bits))
+    B = 4
+    a_words = pack_rows_np(qa, 1)
+    a_stack = np.stack([a_words] * B)
+    x_stack = np.stack([np.asarray(x.digits)] * B)
+    mesh = make_mesh(dp=2, sp=4)
+    with mesh:
+        a_sh = jax.device_put(
+            a_stack, NamedSharding(mesh, P("dp", None, "sp", None)))
+        x_sh = jax.device_put(
+            x_stack, NamedSharding(mesh, P("dp", None, "sp", None)))
+        out = np.asarray(jax.jit(
+            lambda a_, x_: dp_sp_epoch_packed(
+                mesh, a_, x_, ws, bits, x_bits=bits, x_cols=d)
+        )(a_sh, x_sh))
+    for i in range(B):
+        assert np.array_equal(out[i], ref[:n, :cls]), (bits, i)
+    print(f"PACKED-RING-{bits}BIT-OK")
+
+# --- MeshEngine end-to-end on real cluster batches, both modes ---
+ds = synthesize("Proteins", scale=0.05, seed=0)
+for model in ("gcn", "gin"):
+    batcher = ClusterBatcher(ds, psize=8, batch_size=2, bit_width=2,
+                             shuffle=False)
+    ref_eng = QGTCEngine(batcher.feat_dim, ds.num_classes, model=model,
+                         bit_width=2, seed=0)
+    refs = [np.asarray(ref_eng.forward_batch(b)) for b in batcher.batches]
+    for dp, sp in ((8, 1), (4, 2)):
+        eng = MeshEngine(batcher.feat_dim, ds.num_classes, dp=dp, sp=sp,
+                         model=model, bit_width=2, seed=0)
+        outs = eng.forward_batches(batcher)
+        for i, (r, o) in enumerate(zip(refs, outs)):
+            assert np.array_equal(r[: o.shape[0], : o.shape[1]], o), (
+                model, dp, sp, i)
+        modes = {"mega" if s[4] else "ring" for s in eng._staged}
+        expect = {"mega"} if sp == 1 else {"ring"}
+        assert modes == expect, (model, dp, sp, modes)
+    print(f"MESH-ENGINE-{model.upper()}-OK")
+print("PACKED-ALL-OK")
+"""
+
+
 def test_sharded_forward_matches_single_device():
     out = run_on_cpu_mesh(CODE, n_devices=8, timeout=900)
     assert "SP-OK" in out
@@ -114,6 +177,18 @@ def test_sharded_forward_matches_single_device():
     assert "RING-GIN-OK" in out
     assert "DP-SP-OK" in out
     assert "RING-8BIT-OK" in out
+
+
+def test_packed_mesh_matches_single_device():
+    """The PRODUCTION packed path on the mesh (VERDICT r2 #1): ring
+    shards consume M-packed words via the SWAR kernel, dp shards run
+    the mega kernel — all bit-exact vs the single-device engine."""
+    out = run_on_cpu_mesh(PACKED_CODE, n_devices=8, timeout=1800)
+    assert "PACKED-RING-2BIT-OK" in out
+    assert "PACKED-RING-8BIT-OK" in out
+    assert "MESH-ENGINE-GCN-OK" in out
+    assert "MESH-ENGINE-GIN-OK" in out
+    assert "PACKED-ALL-OK" in out
 
 
 def test_multihost_helpers_single_process():
@@ -169,3 +244,4 @@ def test_two_process_distributed_forward():
         assert p.returncode == 0, out[-2000:]
     for i, out in enumerate(outs):
         assert f"p{i}: MULTIHOST-OK" in out, out[-2000:]
+        assert f"p{i}: MESH-EPOCH-OK" in out, out[-2000:]
