@@ -37,6 +37,13 @@ def main() -> int:
     p.add_argument("--gin", action="store_true")
     p.add_argument("--both-models", action="store_true")
     p.add_argument("--seeds", nargs="+", type=int, default=[0, 1, 2])
+    p.add_argument("--f1", action="store_true",
+                   help="multilabel micro/macro F1 frontier (ppi; "
+                        "reference calc_f1 role, utils.py:43-50)")
+    p.add_argument("--lrs", nargs="+", type=float, default=[1e-2],
+                   help="base lrs for the fresh-QAT candidate pool "
+                        "(high-width GIN needs 2e-2; see "
+                        "results/artist_gin_probe.csv)")
     p.add_argument("--cpu", action="store_true",
                    help="force CPU (QAT is small; avoids TPU dispatch)")
     p.add_argument("--csv", type=str, default=None)
@@ -77,6 +84,8 @@ def main() -> int:
             got = qat_ladder(
                 ds, make_batcher, args.bits, model=model,
                 hidden=hidden, seeds=args.seeds, verbose=False,
+                metric="f1" if args.f1 else "accuracy",
+                lrs=args.lrs,
             )
             for row in got:
                 row = dict(dataset=name, **row)

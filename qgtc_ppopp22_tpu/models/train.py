@@ -185,12 +185,18 @@ def _dense_batches(dataset: GraphDataset, batcher: ClusterBatcher):
     return out
 
 
-def _grouped_stacks(dataset: GraphDataset, batcher: ClusterBatcher):
+def _grouped_stacks(
+    dataset: GraphDataset,
+    batcher: ClusterBatcher,
+    multilabel: bool = False,
+):
     """Dense batches stacked per shape bucket for scanned epochs.
 
     Adjacencies stay uint8 on device (cast in-graph): a whole epoch's
     dense A at f32 would be GBs at large buckets; uint8 is 4x smaller
-    and the cast fuses into the matmul's operand read."""
+    and the cast fuses into the matmul's operand read. With
+    ``multilabel`` the label stack is the (pn, C) multilabel matrix
+    (ppi's ``calc_f1`` task, reference ``utils.py:43-60``)."""
     groups: dict = {}
     for b in batcher.batches:
         groups.setdefault(b.padded_nodes, []).append(b)
@@ -198,14 +204,21 @@ def _grouped_stacks(dataset: GraphDataset, batcher: ClusterBatcher):
     for pn, bs in groups.items():
         A = np.zeros((len(bs), pn, pn), np.uint8)
         X = np.zeros((len(bs), pn, batcher.feat_dim), np.float32)
-        L = np.zeros((len(bs), pn), np.int32)
+        if multilabel:
+            C = dataset.multilabels.shape[1]
+            L = np.zeros((len(bs), pn, C), np.float32)
+        else:
+            L = np.zeros((len(bs), pn), np.int32)
         M = np.zeros((len(bs), pn), np.float32)
         for i, b in enumerate(bs):
             n = b.num_nodes
             A[i, :n, :n] = dataset.graph.subgraph_dense(b.nodes)
             X[i, :n] = batcher.features[b.nodes]
             labels, mask = batch_labels(dataset, b)
-            L[i] = labels
+            if multilabel:
+                L[i, :n] = dataset.multilabels[b.nodes]
+            else:
+                L[i] = labels
             M[i] = mask.astype(np.float32)
         out.append(
             (jnp.asarray(A), jnp.asarray(X), jnp.asarray(L), jnp.asarray(M))
@@ -225,11 +238,18 @@ def train_float_twin(
     ste: bool = True,
     init_ws: Optional[Sequence[jnp.ndarray]] = None,
     verbose: bool = False,
+    multilabel: bool = False,
 ) -> Tuple[List[jnp.ndarray], float]:
-    """Train the fp32 twin; returns (weights, final train accuracy).
+    """Train the fp32 twin; returns (weights, final train metric).
 
-    With ``ste=True`` the reported accuracy is the deployed quantized
-    accuracy (forward is integer-exact). ``init_ws`` warm-starts.
+    With ``ste=True`` the reported metric is the deployed quantized
+    one (forward is integer-exact). ``init_ws`` warm-starts. With
+    ``multilabel`` the loss is per-class sigmoid BCE on centered
+    logits and the metric is micro-F1 at the per-class-mean threshold
+    (the deployment threshold ``runtime.evaluate_f1`` calibrates —
+    the unsigned weight lattice cannot express a bias, so a
+    0-threshold like the reference's ``calc_f1`` would label
+    everything positive).
     """
     from qgtc_ppopp22_tpu.models.qmodels import init_weights
 
@@ -245,14 +265,28 @@ def train_float_twin(
 
     shifts_t = tuple(shifts) if shifts is not None else None
 
+    def _class_mean(logits, mask):
+        # masked per-class mean logit — the deployment threshold
+        # (see runtime.evaluate_f1)
+        return jax.lax.stop_gradient(
+            jnp.sum(logits * mask[:, None], axis=0)
+            / jnp.maximum(jnp.sum(mask), 1.0)
+        )
+
     def batch_loss(ws, a, x, labels, mask):
         logits = float_twin_forward(
             a, x, ws, bit_width, mname, shifts_t, ste=ste
         )
-        # Temperature-normalize for the loss only (argmax and the
-        # deployed engine are unaffected): integer-domain logits
-        # reach thousands and saturate softmax gradients.
+        # Temperature-normalize for the loss only (argmax/threshold
+        # and the deployed engine are unaffected): integer-domain
+        # logits reach thousands and saturate softmax/sigmoid grads.
         tau = jnp.maximum(jax.lax.stop_gradient(jnp.std(logits)), 1.0)
+        if multilabel:
+            z = (logits - _class_mean(logits, mask)[None, :]) / tau
+            bce = optax.sigmoid_binary_cross_entropy(z, labels)
+            return jnp.sum(
+                jnp.mean(bce, axis=-1) * mask
+            ) / jnp.maximum(jnp.sum(mask), 1)
         logp = jax.nn.log_softmax(logits / tau, axis=-1)
         nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
         return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
@@ -306,7 +340,31 @@ def train_float_twin(
             (c, t), _ = jax.lax.scan(body, (c, t), g)
         return c, t
 
-    groups = tuple(_grouped_stacks(dataset, batcher))
+    @jax.jit
+    def f1_all(ws, groups):
+        # micro-F1 counters at the per-class-mean threshold
+        tp = fp = fn = jnp.zeros(())
+
+        def body(carry, batch):
+            tp, fp, fn = carry
+            a8, x, labels, mask = batch
+            logits = float_twin_forward(
+                a8.astype(jnp.float32), x, ws, bit_width, mname,
+                shifts_t, ste=ste,
+            )
+            thr = _class_mean(logits, mask)
+            pred = (logits > thr[None, :]).astype(jnp.float32)
+            m = mask[:, None]
+            tp = tp + jnp.sum(pred * labels * m)
+            fp = fp + jnp.sum(pred * (1 - labels) * m)
+            fn = fn + jnp.sum((1 - pred) * labels * m)
+            return (tp, fp, fn), None
+
+        for g in groups:
+            (tp, fp, fn), _ = jax.lax.scan(body, (tp, fp, fn), g)
+        return tp, fp, fn
+
+    groups = tuple(_grouped_stacks(dataset, batcher, multilabel))
     n_batches = sum(int(g[0].shape[0]) for g in groups)
     for ep in range(epochs):
         ws, opt_state, total_loss = epoch_fn(ws, opt_state, groups)
@@ -315,8 +373,14 @@ def train_float_twin(
                 f"epoch {ep}: loss {float(total_loss) / n_batches:.4f}"
             )
 
-    c, t = acc_all(ws, groups)
-    return [jnp.asarray(w) for w in ws], float(c) / max(float(t), 1.0)
+    if multilabel:
+        tp, fp, fn = f1_all(ws, groups)
+        tp, fp, fn = float(tp), float(fp), float(fn)
+        metric = 2 * tp / max(2 * tp + fp + fn, 1e-9)
+    else:
+        c, t = acc_all(ws, groups)
+        metric = float(c) / max(float(t), 1.0)
+    return [jnp.asarray(w) for w in ws], metric
 
 
 def quantized_accuracy(
@@ -354,6 +418,38 @@ def quantized_accuracy(
         ws, bit_width, fmt="digits", quant_bits=quant_bits
     )
     return eng.evaluate(batcher, dataset.labels)
+
+
+def quantized_f1(
+    dataset: GraphDataset,
+    batcher: ClusterBatcher,
+    ws: Sequence[jnp.ndarray],
+    bit_width: int,
+    model: str = "gcn",
+    shifts: Optional[Sequence[int]] = None,
+    clamp_bits: Optional[int] = None,
+    quant_bits: Optional[int] = None,
+) -> dict:
+    """Deployed multilabel micro/macro F1 of the real quantized engine
+    (reference ``calc_f1`` role, ``utils.py:43-50``; ppi)."""
+    from qgtc_ppopp22_tpu.models.qmodels import pack_weights
+    from qgtc_ppopp22_tpu.runtime import QGTCEngine
+
+    eng = QGTCEngine(
+        feat_dim=batcher.feat_dim,
+        num_classes=dataset.multilabels.shape[1],
+        model=model,
+        bit_width=bit_width,
+        hidden=ws[0].shape[1] if len(ws) > 1 else 16,
+        num_layers=len(ws),
+        shifts=shifts,
+        clamp_bits=clamp_bits,
+    )
+    eng.float_weights = list(ws)
+    eng.weights = pack_weights(
+        ws, bit_width, fmt="digits", quant_bits=quant_bits
+    )
+    return eng.evaluate_f1(batcher, dataset.multilabels)
 
 
 def _spread_weights(ws, shifts, bit_width: int, model: str):
@@ -396,8 +492,9 @@ def qat_train(
     lr: float = 1e-2,
     seed: int = 0,
     verbose: bool = False,
+    multilabel: bool = False,
 ) -> Tuple[List[jnp.ndarray], List[int], float]:
-    """Full QAT recipe -> (weights, shifts, deployed accuracy).
+    """Full QAT recipe -> (weights, shifts, deployed metric).
 
     1. smooth pretrain (continuous clamp surrogate),
     2. calibrate power-of-two requant shifts on the quantized weights,
@@ -426,7 +523,7 @@ def qat_train(
     ws, _ = train_float_twin(
         dataset, batcher, cfg, model, epochs=smooth_epochs, lr=lr,
         seed=seed, shifts=shifts, ste=False, init_ws=ws0,
-        verbose=verbose,
+        verbose=verbose, multilabel=multilabel,
     )
     # Spread weights across the representable levels (shift-
     # compensated), recalibrate on the trained scale, and give the
@@ -436,18 +533,20 @@ def qat_train(
     ws, _ = train_float_twin(
         dataset, batcher, cfg, model, epochs=smooth_epochs // 2, lr=lr,
         seed=seed, shifts=shifts, ste=False, init_ws=ws, verbose=verbose,
+        multilabel=multilabel,
     )
     ws, shifts = _spread_weights(ws, shifts, cfg.bit_width, model)
     ws, acc = train_float_twin(
         dataset, batcher, cfg, model, epochs=ste_epochs, lr=lr / 2,
         seed=seed, shifts=shifts, ste=True, init_ws=ws, verbose=verbose,
+        multilabel=multilabel,
     )
     shifts2 = calibrate_shifts(dataset, batcher, q(ws), cfg.bit_width, model)
     if shifts2 != shifts:
         ws, acc = train_float_twin(
             dataset, batcher, cfg, model, epochs=ste_epochs // 2,
             lr=lr / 4, seed=seed, shifts=shifts2, ste=True, init_ws=ws,
-            verbose=verbose,
+            verbose=verbose, multilabel=multilabel,
         )
         shifts = shifts2
     return ws, shifts, acc
@@ -478,6 +577,8 @@ def qat_ladder(
     seeds: Sequence[int] = (0, 1, 2),
     ste_epochs: int = 10,
     verbose: bool = False,
+    metric: str = "accuracy",
+    lrs: Sequence[float] = (1e-2,),
 ) -> List[dict]:
     """Monotone accuracy frontier: QAT with bit-width laddering.
 
@@ -511,7 +612,26 @@ def qat_ladder(
     :func:`ladder_feature_scale` so the quantizer's full level grid is
     exercised at every width, and ``quant_bits`` for candidate 4.
     Returns one row dict per bit width (ascending).
+
+    ``metric='f1'`` selects deployed multilabel micro-F1 (ppi's
+    ``calc_f1`` task): candidates train with the BCE twin
+    (``train_float_twin(multilabel=True)``) and are compared/reported
+    by the REAL engine's micro-F1 (``quantized_f1``), with macro-F1
+    recorded alongside.
     """
+    ml = metric == "f1"
+
+    def _eval(it_, ws_, sh_, clamp_bits=None, quant_bits=None):
+        if ml:
+            return quantized_f1(
+                dataset, it_, ws_, it_.bit_width, model, shifts=sh_,
+                clamp_bits=clamp_bits, quant_bits=quant_bits,
+            )["f1_micro"]
+        return quantized_accuracy(
+            dataset, it_, ws_, it_.bit_width, model, shifts=sh_,
+            clamp_bits=clamp_bits, quant_bits=quant_bits,
+        )
+
     rows = []
     prev = None  # (bits, ws, shifts, acc, native_bits)
     for bits in sorted(bits_list):
@@ -521,12 +641,25 @@ def qat_ladder(
             bit_width=bits, num_layers=num_layers,
         )
         candidates = []  # (acc, ws, shifts, how, native_bits)
-        for seed in seeds:
-            ws, sh, acc = qat_train(
-                dataset, it, cfg, model=model, seed=seed,
-                verbose=verbose,
-            )
-            candidates.append((acc, ws, sh, f"fresh(seed={seed})", bits))
+        # Fresh QAT is high-variance at wide bit widths (the artist
+        # GIN probe: only 2/48 grid cells beat the carried floor, both
+        # at 4x the default base lr — results/artist_gin_probe.csv),
+        # so the fresh pool sweeps lr x seed and the ladder keeps the
+        # best deployed metric.
+        for lr0 in lrs:
+            for seed in seeds:
+                ws, sh, acc = qat_train(
+                    dataset, it, cfg, model=model, seed=seed,
+                    verbose=verbose, multilabel=ml, lr=lr0,
+                )
+                if ml:  # compare by the DEPLOYED engine's micro-F1
+                    acc = _eval(it, ws, sh)
+                tag = (
+                    f"fresh(seed={seed})"
+                    if len(lrs) == 1
+                    else f"fresh(seed={seed},lr={lr0:g})"
+                )
+                candidates.append((acc, ws, sh, tag, bits))
         if prev is not None:
             p_bits, p_ws, p_sh, p_acc, p_native = prev
             # Two carry schedules for the lower-bit winner:
@@ -554,14 +687,15 @@ def qat_ladder(
                     ([p_sh[0] + delta] + list(p_sh[1:]), "collapsed")
                 )
             for c_sh, tag in carry_schedules:
-                acc_carry = quantized_accuracy(
-                    dataset, it, p_ws, bits, model, shifts=c_sh
-                )
+                acc_carry = _eval(it, p_ws, c_sh)
                 candidates.append((acc_carry, p_ws, c_sh, tag, bits))
                 ws_ft, acc_ft = train_float_twin(
                     dataset, it, cfg, model, epochs=ste_epochs, lr=5e-3,
                     shifts=c_sh, ste=True, init_ws=p_ws, verbose=verbose,
+                    multilabel=ml,
                 )
+                if ml:
+                    acc_ft = _eval(it, ws_ft, list(c_sh))
                 candidates.append(
                     (acc_ft, ws_ft, list(c_sh), f"{tag}+ste", bits)
                 )
@@ -582,9 +716,8 @@ def qat_ladder(
             except TypeError:
                 it_emu = None  # factory without quant_bits support
             if it_emu is not None:
-                acc_emu = quantized_accuracy(
-                    dataset, it_emu, p_ws, bits, model,
-                    shifts=list(p_sh),
+                acc_emu = _eval(
+                    it_emu, p_ws, list(p_sh),
                     clamp_bits=p_native, quant_bits=p_native,
                 )
                 if acc_emu < p_acc - 1e-9:
@@ -604,26 +737,43 @@ def qat_ladder(
             ws_s, _ = train_float_twin(
                 dataset, it, cfg, model, epochs=ste_epochs, lr=5e-3,
                 shifts=c_sh, ste=False, init_ws=p_ws, verbose=verbose,
+                multilabel=ml,
             )
             ws_r, acc_r = train_float_twin(
                 dataset, it, cfg, model, epochs=ste_epochs + 5, lr=2e-3,
                 shifts=c_sh, ste=True, init_ws=ws_s, verbose=verbose,
+                multilabel=ml,
             )
+            if ml:
+                acc_r = _eval(it, ws_r, list(c_sh))
             candidates.append(
                 (acc_r, ws_r, list(c_sh), "carried+smooth+ste", bits)
             )
             acc, ws, sh, how, native = max(candidates, key=lambda c: c[0])
         prev = (bits, ws, sh, acc, native)
-        rows.append(
-            dict(
-                model=model,
-                bits=bits,
-                accuracy=round(float(acc), 4),
-                chance=round(1.0 / dataset.num_classes, 4),
-                shifts="/".join(map(str, sh)),
-                winner=how,
-            )
+        row = dict(
+            model=model,
+            bits=bits,
+            accuracy=round(float(acc), 4),
+            chance=round(1.0 / dataset.num_classes, 4),
+            shifts="/".join(map(str, sh)),
+            winner=how,
         )
+        if ml:
+            full = quantized_f1(
+                dataset,
+                make_batcher(
+                    bits, ladder_feature_scale(native),
+                    quant_bits=(native if native != bits else None),
+                ),
+                ws, bits, model, shifts=list(sh),
+                clamp_bits=(native if native != bits else None),
+                quant_bits=(native if native != bits else None),
+            )
+            row["metric"] = "deployed micro-F1 (accuracy col)"
+            row["f1_micro"] = round(full["f1_micro"], 4)
+            row["f1_macro"] = round(full["f1_macro"], 4)
+        rows.append(row)
         if verbose:
             print(rows[-1], flush=True)
     return rows

@@ -51,6 +51,7 @@ __all__ = [
     "fused_baseline_epoch",
     "mega_colblock",
     "mega_vmem_plan",
+    "mega_plan_probe",
 ]
 
 
@@ -89,6 +90,7 @@ def mega_vmem_plan(
     ws,
     out_cols: Optional[int] = None,
     resident_a: Optional[bool] = None,
+    unpack_once: Optional[bool] = None,
 ):
     """Static VMEM budget for the mega kernel -> (resident_a,
     unpack_once).
@@ -136,8 +138,111 @@ def mega_vmem_plan(
     # dot straight from it afterwards — later aggregations pay zero
     # unpack VPU work (the per-agg SWAR unpack is NOT hidden at
     # N=128-lane aggregation widths, unlike the large-N packmm case).
-    unpack_once = resident_a and need + pn * pn <= (15 << 20)
+    if unpack_once is None:
+        unpack_once = resident_a and need + pn * pn <= (15 << 20)
+    else:
+        unpack_once = unpack_once and resident_a
     return resident_a, unpack_once
+
+
+# Tier order, fastest first: resident+unpack-once, resident, streaming.
+_MEGA_TIERS = ((True, True), (True, False), (False, False))
+_PROBE_CACHE: dict = {}
+
+
+def _vmem_error(e: Exception) -> bool:
+    s = str(e).lower()
+    return any(m in s for m in ("vmem", "scoped", "exceeds", "memory"))
+
+
+def mega_plan_probe(
+    a_stack_shape,
+    x_stack_shape,
+    ws,
+    out_bits: int,
+    model: str = "gcn",
+    shifts=None,
+    with_occ: bool = False,
+    out_cols: Optional[int] = None,
+    x_cols: Optional[int] = None,
+    x_levels_bits: Optional[int] = None,
+):
+    """Pick the mega kernel's residency tier by ACTUALLY lowering it.
+
+    The static constants in :func:`mega_vmem_plan` (15 MB ceiling,
+    2 MB transient headroom) are tuned on the benchmark bucket shapes;
+    for out-of-matrix shapes they can mispredict in either direction.
+    On TPU this probe compiles the kernel at each tier (fastest
+    first — resident+unpack-once, resident, streaming) and returns the
+    first that Mosaic accepts; the compile is the same one the real
+    call needs, so with the persistent compile cache the probe's cost
+    is almost entirely reclaimed. Off-TPU (interpret mode has no VMEM
+    limits) it falls back to the static plan. Results are memoized per
+    geometry for the process lifetime.
+    """
+    key = (
+        tuple(a_stack_shape), tuple(x_stack_shape),
+        tuple((w.digits.shape, w.shape, w.bits) for w in ws),
+        out_bits, model, tuple(shifts) if shifts is not None else None,
+        with_occ, out_cols, x_cols, x_levels_bits,
+        jax.default_backend(),
+    )
+    if key in _PROBE_CACHE:
+        return _PROBE_CACHE[key]
+    B, pnw, pn = a_stack_shape
+    _, nd_x, _, xp = x_stack_shape
+    nd_plan = (
+        num_digits(x_levels_bits) + 1 if x_levels_bits is not None
+        else nd_x
+    )
+    if jax.default_backend() != "tpu":
+        plan = mega_vmem_plan(pn, nd_plan, xp, ws, out_cols=out_cols)
+        _PROBE_CACHE[key] = plan
+        return plan
+    chunk = next((c for c in (512, 256) if c <= pn and pn % c == 0), 512)
+    nch = pn // chunk
+    last_err = None
+    for ra, uo in _MEGA_TIERS:
+        # The static estimate only PRUNES hopeless tiers (dominant A
+        # terms alone >1.5x the physical ~16 MB — compiling those
+        # wastes 30-300 s cold); within that margin the compiler is
+        # the arbiter.
+        a_terms = ((pn // _RPW) * pn * 4 if ra else 0) + (
+            pn * pn if uo else 0
+        )
+        if a_terms > int(1.5 * (16 << 20)):
+            last_err = last_err or ValueError(
+                f"tier (resident={ra}, unpack_once={uo}) pruned: A "
+                f"terms alone ~{a_terms >> 20} MB"
+            )
+            continue
+
+        def fn(a, x, occ=None):
+            return fused_model_epoch(
+                a, x, ws, out_bits, model=model, shifts=shifts,
+                resident_a=ra, unpack_once=uo, chunk_occ=occ,
+                out_cols=out_cols, x_cols=x_cols,
+                x_levels_bits=x_levels_bits,
+            )
+
+        shapes = [
+            jax.ShapeDtypeStruct((1, pnw, pn), jnp.int32),
+            jax.ShapeDtypeStruct((1, nd_x, pn, xp), jnp.int8),
+        ]
+        if with_occ:
+            shapes.append(jax.ShapeDtypeStruct((1, nch), jnp.int32))
+        try:
+            jax.jit(fn).lower(*shapes).compile()
+            _PROBE_CACHE[key] = (ra, uo)
+            return ra, uo
+        except Exception as e:  # Mosaic VMEM rejection -> next tier
+            if not _vmem_error(e):
+                raise
+            last_err = e
+    raise ValueError(
+        f"bucket pn={pn}: no mega residency tier compiles "
+        f"({last_err}); use the scan engine"
+    )
 
 
 def _interpret_default() -> bool:
@@ -188,6 +293,7 @@ def fused_model_epoch(
     out_cols: Optional[int] = None,
     x_cols: Optional[int] = None,
     x_levels_bits: Optional[int] = None,
+    unpack_once: Optional[bool] = None,
 ) -> jax.Array:
     """Run the full model over every stacked batch in ONE pallas call.
 
@@ -269,7 +375,8 @@ def fused_model_epoch(
         else nd_x
     )
     resident_a, unpack_once = mega_vmem_plan(
-        pn, nd_x_plan, xp, ws, out_cols=out_cols, resident_a=resident_a
+        pn, nd_x_plan, xp, ws, out_cols=out_cols, resident_a=resident_a,
+        unpack_once=unpack_once,
     )
     chunk = next(
         (c for c in (512, 256) if c <= pn and pn % c == 0), None
@@ -432,8 +539,17 @@ def fused_model_epoch(
             stk = lane_stackable(len(h_digits), rw_h, ncols)
             if stk:
                 s_h = _round8(int(rw_h))
+                # Stack via int32: Mosaic lowers i8 vector adds only
+                # on ref-loaded operands, and requantized h planes are
+                # computed values — a direct i8 lane_stack fails to
+                # compile on HW ("Only vector<i16> and vector<i32>
+                # are supported"). ext + add + trunc all lower.
                 h_eff = [
-                    lane_stack(h_digits[0], h_digits[1], s_h, kroll)
+                    lane_stack(
+                        h_digits[0].astype(jnp.int32),
+                        h_digits[1].astype(jnp.int32),
+                        s_h, kroll,
+                    ).astype(jnp.int8)
                 ]
             else:
                 s_h = 0

@@ -19,11 +19,16 @@ Deployment recipe (N hosts of one pod slice):
    (`ClusterBatcher` partitions are host-assignable round-robin) and
    calls the same jitted step.
 
-Scaling expectation: dp-over-hosts is communication-free at steady
-state, so epoch-time scaling is bounded by batch-count imbalance
-(75 batches over N hosts), not bandwidth — the BASELINE target of
->=80% efficiency at 2 hosts corresponds to ceil(75/2)/75*2 = 98.7%
-arithmetic efficiency.
+Scaling expectation — an ARITHMETIC MODEL, not a measurement (one
+chip is available in this environment, so multi-host speed is
+unmeasurable): dp-over-hosts is communication-free at steady state,
+so epoch-time scaling is bounded by batch-count imbalance (75 batches
+over N hosts), not bandwidth — under that model the BASELINE target
+of >=80% efficiency at 2 hosts corresponds to a ceil(75/2)/75*2 =
+98.7% arithmetic bound. What IS measured: bit-exact 2-process
+execution (tests/test_parallel.py) and the per-process epoch-wall
+throughput structure (benchmarks/multihost_structure.py ->
+results/multihost_walls.csv).
 """
 
 from __future__ import annotations

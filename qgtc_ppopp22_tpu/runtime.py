@@ -524,27 +524,35 @@ class QGTCEngine:
             # STREAMING kernel every skipped block saves its HBM
             # crossing: 1.15x on arxiv — there, skipping is ON by
             # default.
+            # Residency tier: COMPILE-PROBED on TPU (the static
+            # constants in mega_vmem_plan only prune hopeless tiers;
+            # Mosaic itself arbitrates borderline shapes — see
+            # fused_model.mega_plan_probe), static plan off-TPU.
+            plan_res, plan_uo = resident_a, None
             will_stream = False
-            if self.zerotile_jump is None and resident_a is not True:
+            if resident_a is not True:
                 try:
                     from qgtc_ppopp22_tpu.ops.fused_model import (
-                        mega_vmem_plan,
+                        mega_plan_probe,
                     )
 
-                    # same plan geometry the kernel itself will use
-                    # (levels-form X budgets digit-split transients)
-                    nd_plan = (
-                        3 if x_levels_bits is not None
-                        else x_stack.shape[1]
-                    )
-                    plan_res, _ = mega_vmem_plan(
-                        pn_, nd_plan, x_stack.shape[3], ws,
+                    plan_res, plan_uo = mega_plan_probe(
+                        a_stack.shape, x_stack.shape, ws, clamp_bits,
+                        model=model, shifts=shifts_t,
                         out_cols=self.cfg.out_dim,
-                        resident_a=resident_a,
+                        x_cols=self.cfg.in_dim,
+                        x_levels_bits=x_levels_bits,
                     )
-                    will_stream = not plan_res
+                    if resident_a is not None:  # caller forced a tier
+                        plan_res, plan_uo = resident_a, None
+                    # auto zero-tile jumping only in its measured-win
+                    # regime (streaming) and only when the flag is
+                    # tri-state None
+                    if self.zerotile_jump is None:
+                        will_stream = not plan_res
                 except ValueError:
-                    pass  # scan fallback below; occ irrelevant
+                    plan_res, plan_uo = resident_a, None
+                    # scan fallback below; occ irrelevant
             occ = None
             if self.zerotile_jump is True or will_stream:
                 chunk = next(
@@ -570,15 +578,16 @@ class QGTCEngine:
                     if 1.0 - occ_np.mean() >= 0.02:
                         occ = jax.device_put(occ_np)
             def mega_fn(t, w_, with_occ=occ is not None,
-                        xlb=x_levels_bits):
+                        xlb=x_levels_bits, ra=plan_res, uo=plan_uo):
                 return fused_model_epoch(
                     t[0], t[1], w_, clamp_bits, model=model,
                     shifts=shifts_t,
                     chunk_occ=t[2] if with_occ else None,
                     out_cols=self.cfg.out_dim,
-                    resident_a=resident_a,
+                    resident_a=ra,
                     x_cols=self.cfg.in_dim,
                     x_levels_bits=xlb,
+                    unpack_once=uo,
                 )
 
             mega_args = (a_stack, x_stack) + (

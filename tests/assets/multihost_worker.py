@@ -72,3 +72,26 @@ for (fn, args, bs, pn, use_mega), g in zip(eng._staged, gath):
 modes = ["mega" if s[4] else "ring" for s in eng._staged]
 print(f"p{pid}: MESH-EPOCH-{'OK' if ok2 else 'FAIL'} modes={modes}",
       flush=True)
+
+# --- per-process epoch WALLS (throughput structure) ----------------
+# One chip per environment means multi-host *speed* is unmeasurable;
+# what IS measurable is the throughput structure: each process stages
+# ceil(B/nproc) of the batches and its epoch wall reflects only its
+# own share plus collective sync. Committed by
+# benchmarks/multihost_structure.py to results/multihost_walls.csv.
+import time
+n_epochs = 10
+out = eng._epoch_all(eng._all_args, eng._ws)  # warm
+jax.block_until_ready(out)
+t0 = time.perf_counter()
+for _ in range(n_epochs):
+    out = eng._epoch_all(eng._all_args, eng._ws)
+jax.block_until_ready(out)
+wall = (time.perf_counter() - t0) * 1e3 / n_epochs
+nb = 0  # this process's staged share (see MeshEngine.stage)
+for (_f, _a, bs, _pn, _um) in eng._staged:
+    Bp = -(-len(bs) // eng.dp) * eng.dp
+    sl = host_batch_slice(Bp)
+    nb += max(0, min(sl.stop, Bp) - sl.start)
+print(f"p{pid}: EPOCH-WALL ms={wall:.2f} local_batches={nb} "
+      f"nproc={nproc}", flush=True)

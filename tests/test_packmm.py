@@ -189,3 +189,138 @@ def test_packmm_vs_digitmm_same_results(rng):
     via_pack = np.asarray(digit_unpack(packmm_to_digits(pa, b, 2)))
     via_digit = np.asarray(digit_unpack(digitmm_to_digits(da, b, 2)))
     np.testing.assert_array_equal(via_pack, via_digit)
+
+
+def test_packed_signed_layout_single_plane(rng):
+    """Bits 5-8 pack ONE offset-signed byte plane (level ^ 0x80):
+    half the words of the two-nibble-plane layout, one MXU pass in
+    the kernel (``ops/packmm.field_width`` docstring)."""
+    from qgtc_ppopp22_tpu.ops.packmm import packed_signed
+
+    assert packed_signed(8) and packed_signed(5)
+    assert not packed_signed(4) and not packed_signed(1)
+    q = rng.integers(0, 256, (256, 128)).astype(np.int32)
+    pt = pack_rows(jnp.asarray(q), 8)
+    assert pt.words.shape[0] == 1  # single plane
+    assert pt.words.dtype == jnp.int8  # plain bytes, no word packing
+    assert pt.rows_per_word == 1
+    np.testing.assert_array_equal(np.asarray(unpack_rows(pt)), q)
+
+
+def test_packed_signed_sparse_occupancy(rng):
+    """Zero LEVELS are 0x80 bytes in the signed layout; the tile map
+    must treat them as empty (and the sparse kernel must drop both
+    the dot and its rank-1 correction for skipped tiles)."""
+    M = K = 512
+    N = 32
+    qa = rng.integers(0, 256, (M, K)).astype(np.int32)
+    qa[:, 256:] = 0  # right half of K is empty for every row
+    qb = rng.integers(0, 256, (K, N)).astype(np.int32)
+    a = pack_rows(jnp.asarray(qa), 8)
+    b = digit_pack(jnp.asarray(qb), 8)
+    tmap = build_tile_map_packed(a, tile_m=256, tile_k=256)
+    assert np.asarray(tmap.kcnt).tolist() == [1, 1]  # half skipped
+    want = bitmm_np(qa, qb, 8, 8, 8)
+    sparse = packmm_to_digits(a, b, 8, tile_map=tmap)
+    np.testing.assert_array_equal(np.asarray(digit_unpack(sparse)), want)
+    got_f = packmm_to_f32(a, b, tile_map=tmap)
+    np.testing.assert_array_equal(
+        np.asarray(got_f), bitmm_np(qa, qb, 8, 8, None).astype(np.float32)
+    )
+
+
+def test_packed_signed_chain_composes(rng):
+    """packmm_to_packed 8-bit output (signed plane) feeds the next
+    GEMM's A operand bit-exactly, including its zero padding rows
+    (level 0 = 0x80 bytes must still requantize/compose to 0)."""
+    qx = rng.integers(0, 256, (200, 256)).astype(np.int32)
+    qw = rng.integers(0, 256, (256, 60)).astype(np.int32)
+    qw2 = rng.integers(0, 256, (64, 40)).astype(np.int32)
+    x = pack_rows(jnp.asarray(qx), 8)
+    w = digit_pack(jnp.asarray(qw), 8)
+    xw = packmm_to_packed(x, w, 8)
+    assert xw.words.shape[0] == 1
+    want1 = bitmm_np(qx, qw, 8, 8, 8)
+    np.testing.assert_array_equal(np.asarray(unpack_rows(xw)), want1)
+    # padded output columns are level 0 -> next contraction sees zeros
+    xw2 = PackedTensor(words=xw.words, shape=(200, 64), bits=8)
+    want1p = np.zeros((200, 64), np.int32)
+    want1p[:, :60] = want1
+    got2 = packmm_to_f32(xw2, digit_pack(jnp.asarray(qw2), 8))
+    want2 = bitmm_np(want1p, qw2, 8, 8, None).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(got2), want2)
+
+
+def test_packmm_out_cols_slices_store(rng):
+    """``out_cols`` stores only the real N columns for terminal
+    outputs (values unchanged; the reference's outputs carry N
+    columns, not a 128-lane pad)."""
+    qa = rng.integers(0, 256, (256, 256)).astype(np.int32)
+    qb = rng.integers(0, 256, (256, 16)).astype(np.int32)
+    a = pack_rows(jnp.asarray(qa), 8)
+    b = digit_pack(jnp.asarray(qb), 8)
+    c = packmm_to_packed(a, b, 8, out_cols=16)
+    assert c.words.shape[2] == 16
+    np.testing.assert_array_equal(
+        np.asarray(unpack_rows(c)), bitmm_np(qa, qb, 8, 8, 8)
+    )
+    f = packmm_to_f32(a, b, out_cols=16)
+    np.testing.assert_array_equal(
+        np.asarray(f), bitmm_np(qa, qb, 8, 8, None).astype(np.float32)
+    )
+    # low-bit packed output slices too
+    qa2 = rng.integers(0, 4, (256, 256)).astype(np.int32)
+    a2 = pack_rows(jnp.asarray(qa2), 2)
+    qb2 = rng.integers(0, 4, (256, 16)).astype(np.int32)
+    b2 = digit_pack(jnp.asarray(qb2), 2)
+    c2 = packmm_to_packed(a2, b2, 2, out_cols=16)
+    assert c2.words.shape[2] == 16
+    np.testing.assert_array_equal(
+        np.asarray(unpack_rows(c2)), bitmm_np(qa2, qb2, 2, 2, 2)
+    )
+
+
+def test_prepared_rhs_stream_exact(rng):
+    """The signed-plane streaming kernel (PreparedRHS, ones-lane
+    rowsum, rank-1 correction) is bit-exact vs golden for every
+    output form, including padding rows/lanes (level 0)."""
+    from qgtc_ppopp22_tpu.ops.packmm import prepare_rhs
+
+    M, K, N = 700, 300, 60
+    qa = rng.integers(0, 256, (M, K)).astype(np.int32)
+    qb = rng.integers(0, 256, (K, N)).astype(np.int32)
+    a = pack_rows(jnp.asarray(qa), 8)
+    bp = prepare_rhs(digit_pack(jnp.asarray(qb), 8))
+
+    got = np.asarray(packmm_to_f32(a, bp))
+    np.testing.assert_array_equal(
+        got, bitmm_np(qa, qb, 8, 8, None).astype(np.float32)
+    )
+
+    c = packmm_to_packed(a, bp, 8)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_rows(c)), bitmm_np(qa, qb, 8, 8, 8)
+    )
+    # padded rows/lanes of the signed output must be level 0 (0x80)
+    w = np.asarray(c.words)[0]
+    assert (w[M:, :] == -128).all() and (w[:, N:] == -128).all()
+
+    cd = packmm_to_digits(a, bp, 4, shift=2)
+    np.testing.assert_array_equal(
+        np.asarray(digit_unpack(cd)), bitmm_np(qa, qb, 8, 8, 4, shift=2)
+    )
+    # digit-output pads stay level 0 for chain safety
+    dg = np.asarray(cd.digits)
+    assert (dg[:, M:, :] == 0).all() and (dg[:, :, N:] == 0).all()
+
+    c16 = packmm_to_packed(a, bp, 8, out_cols=N)
+    assert c16.words.shape[2] == 64
+    np.testing.assert_array_equal(
+        np.asarray(unpack_rows(c16)), bitmm_np(qa, qb, 8, 8, 8)
+    )
+
+    # low-bit packed output from a signed A
+    c2 = packmm_to_packed(a, bp, 2, out_cols=N)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_rows(c2)), bitmm_np(qa, qb, 8, 8, 2)
+    )
