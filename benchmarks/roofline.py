@@ -121,10 +121,11 @@ def main() -> int:
             for b in it.batches:
                 pn = b.padded_nodes
                 xp = round_up(it.feat_dim, LANE)
-                nd_plan = nd_x + 1 if bits > 4 else nd_x
                 try:
                     resident, _ = mega_vmem_plan(
-                        pn, nd_plan, xp, ws, out_cols=ds.num_classes
+                        pn, 1 if bits > 4 else nd_x, xp, ws,
+                        out_cols=ds.num_classes, model=args.model,
+                        x_split_digits=nd_x if bits > 4 else 0,
                     )
                 except ValueError:
                     resident = False

@@ -91,6 +91,8 @@ def mega_vmem_plan(
     out_cols: Optional[int] = None,
     resident_a: Optional[bool] = None,
     unpack_once: Optional[bool] = None,
+    model: Optional[str] = None,
+    x_split_digits: int = 0,
 ):
     """Static VMEM budget for the mega kernel -> (resident_a,
     unpack_once).
@@ -114,11 +116,20 @@ def mega_vmem_plan(
         if out_cols is None
         else min(_round8(out_cols), cp_est)
     )
-    hid_est = max(
-        [w.digits.shape[2] for w in ws[:-1]] + [xp, cp_est]
-    )
+    # Aggregation-accumulator width: GCN aggregates only AFTER the
+    # first update, so its accumulator never carries feature-width
+    # rows; only GIN's first aggregation does. Unknown model stays
+    # conservative (this distinction unlocked reddit's xp=640 8-bit
+    # bucket, which the xp-inclusive estimate pushed past VMEM).
+    cols = [w.digits.shape[2] for w in ws] + [cp_est]
+    if model != "gcn":
+        cols.append(xp)
+    hid_est = max(cols)
+    # Levels-form X (x_split_digits > 0) ships nd_x=1 byte plane and
+    # splits digits into a VMEM scratch of x_split_digits planes.
     fixed = (
         2 * nd_x * pn * xp
+        + x_split_digits * pn * xp
         + 4 * pn * hid_est
         + 2 * 4 * pn * oc_est
         + 2 * sum(w.digits.size for w in ws)
@@ -191,12 +202,15 @@ def mega_plan_probe(
         return _PROBE_CACHE[key]
     B, pnw, pn = a_stack_shape
     _, nd_x, _, xp = x_stack_shape
-    nd_plan = (
-        num_digits(x_levels_bits) + 1 if x_levels_bits is not None
-        else nd_x
-    )
     if jax.default_backend() != "tpu":
-        plan = mega_vmem_plan(pn, nd_plan, xp, ws, out_cols=out_cols)
+        plan = mega_vmem_plan(
+            pn, nd_x, xp, ws, out_cols=out_cols, model=model,
+            x_split_digits=(
+                num_digits(x_levels_bits)
+                if x_levels_bits is not None
+                else 0
+            ),
+        )
         _PROBE_CACHE[key] = plan
         return plan
     chunk = next((c for c in (512, 256) if c <= pn and pn % c == 0), 512)
@@ -367,16 +381,12 @@ def fused_model_epoch(
         raise ValueError(
             f"x_levels_bits given but x_stack has {nd_x} planes"
         )
-    # VMEM plan: levels-form X budgets one extra plane beyond its
-    # split digit count (the transient int32 temp + digit planes the
-    # in-kernel split materializes).
-    nd_x_plan = (
-        num_digits(x_levels_bits) + 1 if x_levels_bits is not None
-        else nd_x
-    )
     resident_a, unpack_once = mega_vmem_plan(
-        pn, nd_x_plan, xp, ws, out_cols=out_cols, resident_a=resident_a,
-        unpack_once=unpack_once,
+        pn, nd_x, xp, ws, out_cols=out_cols, resident_a=resident_a,
+        unpack_once=unpack_once, model=model,
+        x_split_digits=(
+            num_digits(x_levels_bits) if x_levels_bits is not None else 0
+        ),
     )
     chunk = next(
         (c for c in (512, 256) if c <= pn and pn % c == 0), None
@@ -775,8 +785,11 @@ def fused_model_epoch(
                 acc = lane_unstack(acc, s, rw, kroll)
             o_ref[0] = acc[:, 0:oc].astype(jnp.float32)
 
-    hid_cols = max(w.digits.shape[2] for w in ws[:-1]) if n_layers > 1 else xp
-    hid_cols = max(hid_cols, xp, cp)
+    # GCN aggregates only after the first update, so the accumulator
+    # never carries feature-width rows (GIN's first agg does).
+    hid_cols = max(w.digits.shape[2] for w in ws)
+    if model == "gin":
+        hid_cols = max(hid_cols, xp)
 
 
     in_specs = [

@@ -192,7 +192,8 @@ class MeshEngine:
                 xp = x_np.shape[3]
                 try:
                     plan_res, _ = mega_vmem_plan(
-                        pn, nd_x, xp, ws, out_cols=self.cfg.out_dim
+                        pn, nd_x, xp, ws, out_cols=self.cfg.out_dim,
+                        model=self.model,
                     )
                     use_mega = True
                 except ValueError:
