@@ -277,14 +277,19 @@ def _digit_dot(a_digits, b_digits):
     return acc
 
 
-def _requant_digits(acc, out_bits: int, shift: int = 0) -> List[jnp.ndarray]:
-    """Reference epilogue (kernel.h:347-351) -> base-16 digit list.
-    ``shift``: optional power-of-two pre-scale (see ops/quantize.py)."""
+def _requant_raw(acc, out_bits: int, shift: int = 0) -> jnp.ndarray:
+    """Reference requantizer (kernel.h:347-351) -> int32 levels."""
     ub = 1 << out_bits
     if shift:
         acc = acc >> shift
     r = jnp.where(acc > ub, ub - 1, jnp.where(acc < 0, 1, acc))
-    r = r & (ub - 1)
+    return r & (ub - 1)
+
+
+def _requant_digits(acc, out_bits: int, shift: int = 0) -> List[jnp.ndarray]:
+    """Reference epilogue (kernel.h:347-351) -> base-16 digit list.
+    ``shift``: optional power-of-two pre-scale (see ops/quantize.py)."""
+    r = _requant_raw(acc, out_bits, shift)
     out = []
     for d in range(num_digits(out_bits)):
         width = min(DIGIT_BITS, out_bits - d * DIGIT_BITS)
@@ -381,11 +386,34 @@ def fused_model_epoch(
         raise ValueError(
             f"x_levels_bits given but x_stack has {nd_x} planes"
         )
+    # Signed single-plane mode for >4-bit chains: every operand is ONE
+    # offset-signed int8 plane (byte = level - 128; ops/packmm.py has
+    # the per-GEMM form). Each weight carries a constant ones-lane in
+    # its last (padded) lane, so every dot's last output lane IS
+    # rowsum(lhs_signed) — the rank-1 correction costs two vector adds,
+    # and the algebra composes down the chain because weight/feature
+    # PAD rows are level 0 (their shifted products cancel exactly; see
+    # the identity in prepare_rhs). Every GEMM runs ONE MXU pass (the
+    # digit path pays 2 per update even lane-stacked) with no digit
+    # split and single-plane requant stores. Needs a free lane on
+    # every dot RHS: weight real widths < 128 always hold at the
+    # reference configs; GIN additionally needs x_cols < xp (its
+    # first aggregation uses X as the RHS).
+    x_signed = (
+        x_levels_bits is not None
+        and all(w.shape[1] < w.digits.shape[2] for w in ws)
+        and (
+            model == "gcn"
+            or (x_cols is not None and _round8(int(x_cols)) < xp)
+        )
+    )
     resident_a, unpack_once = mega_vmem_plan(
         pn, nd_x, xp, ws, out_cols=out_cols, resident_a=resident_a,
         unpack_once=unpack_once, model=model,
         x_split_digits=(
-            num_digits(x_levels_bits) if x_levels_bits is not None else 0
+            num_digits(x_levels_bits)
+            if (x_levels_bits is not None and not x_signed)
+            else 0
         ),
     )
     chunk = next(
@@ -409,27 +437,54 @@ def fused_model_epoch(
     oc = cp if out_cols is None else min(_round8(out_cols), cp)
     sh = list(shifts) if shifts is not None else [0] * (2 * n_layers - 1)
 
-    # Lane-stack 2-digit-plane weights host-side (see the docstring):
-    # the stacked array has ONE plane, so _digit_dot against it pays
-    # half the MXU passes; w_info records (stride, real width) for the
-    # in-kernel unstack. DigitTensor.shape carries each weight's real
-    # extent, so no extra caller plumbing is needed.
+    # Weight prep, host-side (amortized like the reference's
+    # out-of-loop weight packing, main_qgtc.py:108-110).
     w_info: List[Optional[tuple]] = []
     kw_arrays = []
-    for w in ws:
-        rw = w.shape[1]
-        if lane_stackable(w.digits.shape[0], rw, w.digits.shape[2]):
-            s = _round8(rw)
-            kw_arrays.append(
-                lane_stack(
-                    w.digits[0], w.digits[1], s,
-                    lambda v, k: jnp.roll(v, k, axis=-1),
-                )[None]
+    corr_arrays = []
+    if x_signed:
+        # ONE offset-signed plane per weight + ones-lane + its
+        # precomputed correction row (128*colsum + 128^2*K).
+        for w in ws:
+            nd_w, kpw, npw = w.digits.shape
+            lv = jnp.zeros((kpw, npw), jnp.int32)
+            for e in range(nd_w):
+                lv = lv + (
+                    w.digits[e].astype(jnp.int32) << (DIGIT_BITS * e)
+                )
+            s_w = lv - 128
+            lane = jax.lax.broadcasted_iota(jnp.int32, s_w.shape, 1)
+            s_w = jnp.where(lane == npw - 1, 1, s_w)
+            corr0 = (
+                jnp.sum(s_w, axis=0, keepdims=True) << 7
+            ) + jnp.int32(128 * 128 * kpw)
+            kw_arrays.append(s_w.astype(jnp.int8)[None])
+            corr_arrays.append(
+                jnp.concatenate(
+                    [corr0, jnp.zeros((7, npw), jnp.int32)], axis=0
+                )
             )
-            w_info.append((s, rw))
-        else:
-            kw_arrays.append(w.digits)
             w_info.append(None)
+    else:
+        # Lane-stack 2-digit-plane weights: the stacked array has ONE
+        # plane, so _digit_dot against it pays half the MXU passes;
+        # w_info records (stride, real width) for the in-kernel
+        # unstack. DigitTensor.shape carries each weight's real
+        # extent, so no extra caller plumbing is needed.
+        for w in ws:
+            rw = w.shape[1]
+            if lane_stackable(w.digits.shape[0], rw, w.digits.shape[2]):
+                s = _round8(rw)
+                kw_arrays.append(
+                    lane_stack(
+                        w.digits[0], w.digits[1], s,
+                        lambda v, k: jnp.roll(v, k, axis=-1),
+                    )[None]
+                )
+                w_info.append((s, rw))
+            else:
+                kw_arrays.append(w.digits)
+                w_info.append(None)
 
     # With no occupancy map the kernel compiles a straight-line chunk
     # loop (no pl.when guards, single direct emit per chunk): the
@@ -454,11 +509,12 @@ def fused_model_epoch(
             )
     cb = pn // nj
 
-    x_split = x_levels_bits is not None
+    x_split = x_levels_bits is not None and not x_signed
 
     def kernel(occ_ref, x_ref, *rest):
         ws_refs = rest[:n_layers]
-        rest_s = list(rest[n_layers:])
+        corr_refs = rest[n_layers:2 * n_layers] if x_signed else None
+        rest_s = list(rest[(2 if x_signed else 1) * n_layers:])
         a_hbm, o_ref, a_vmem = rest_s[0], rest_s[1], rest_s[2]
         idx = 3
         a8_vmem = xs_vmem = None
@@ -473,7 +529,18 @@ def fused_model_epoch(
         def kroll(v, k):  # lane roll (Mosaic lane rotate)
             return pltpu.roll(v, shift=k, axis=v.ndim - 1)
 
-        if not x_split:
+        if x_signed:
+            # byte LEVELS -> offset-signed plane (level - 128); GIN's
+            # first aggregation uses X as the dot RHS, so its free
+            # last lane carries the ones column.
+            xs32 = (x_ref[0, 0].astype(jnp.int32) & 255) - 128
+            if model == "gin":
+                lane = jax.lax.broadcasted_iota(
+                    jnp.int32, xs32.shape, 1
+                )
+                xs32 = jnp.where(lane == xp - 1, 1, xs32)
+            x_digits = [xs32.astype(jnp.int8)]
+        elif not x_split:
             x_digits = [x_ref[0, d] for d in range(nd_x)]
         else:
             # Split base-16 digits from the byte levels on the VPU
@@ -494,6 +561,15 @@ def fused_model_epoch(
         w_digits = [
             [w_ref[d] for d in range(w_ref.shape[0])] for w_ref in ws_refs
         ]
+
+        def sgn_store(r, ncols):
+            # requantized levels -> offset-signed plane with the
+            # ones-lane restored (pad lanes are exactly 0 by the
+            # correction algebra, so r - 128 lands them on level 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, r.shape, 1)
+            return jnp.where(lane == ncols - 1, 1, r - 128).astype(
+                jnp.int8
+            )
 
         def copy(c):
             # packed-word chunk c of this batch's adjacency -> its
@@ -569,6 +645,15 @@ def fused_model_epoch(
                 return (
                     lane_unstack(part, s_h, rw_h, kroll) if stk else part
                 )
+
+            def dotfix(part):
+                # signed mode: the RHS ones-lane emitted this A-rows
+                # slice's degree; + 128*deg completes A @ (h_s + 128).
+                # Linear in the part, so 2-D block partials correct
+                # independently and accumulate exactly.
+                if x_signed:
+                    return part + (part[:, ncols - 1 : ncols] << 7)
+                return part
 
             def emit(c, part):
                 if final:
@@ -649,11 +734,11 @@ def fused_model_epoch(
                             lo, hi = c * chunk, (c + 1) * chunk
                             for j in range(nj):
                                 def _acc(j=j, a_c=a_c, lo=lo, hi=hi):
-                                    part = _digit_dot(
+                                    part = dotfix(_digit_dot(
                                         [a_c[:, j * cb:(j + 1) * cb]],
                                         [hd[j * cb:(j + 1) * cb]
                                          for hd in h_eff],
-                                    )
+                                    ))
                                     if final:
                                         o_ref[0, lo:hi, :] = (
                                             o_ref[0, lo:hi, :]
@@ -672,7 +757,7 @@ def fused_model_epoch(
                     else:
                         def compute_c(c=c, first=first):
                             a_c = load_chunk(c, first)
-                            emit(c, _digit_dot([a_c], h_eff))
+                            emit(c, dotfix(_digit_dot([a_c], h_eff)))
 
                         guarded(c, compute_c)
                 seen_a[0] = True
@@ -715,7 +800,7 @@ def fused_model_epoch(
                         a_c = _extract_groups(
                             a_vmem[slot], 1, interpret
                         )
-                        emit(c, _digit_dot([a_c], h_eff))
+                        emit(c, dotfix(_digit_dot([a_c], h_eff)))
                         continue
                     # exact zero init; occupied blocks accumulate below
                     emit_zero(c)
@@ -729,7 +814,7 @@ def fused_model_epoch(
                                 hd[j * cb:(j + 1) * cb]
                                 for hd in h_eff
                             ]
-                            part = _digit_dot([a_cj], hj)
+                            part = dotfix(_digit_dot([a_cj], hj))
                             lo, hi = c * chunk, (c + 1) * chunk
                             if final:
                                 o_ref[0, lo:hi, :] = (
@@ -748,12 +833,26 @@ def fused_model_epoch(
                             _acc()
             if final:
                 return None
+            if x_signed:  # acc already carries the deg corrections
+                r = _requant_raw(acc_ref[:, 0:ncols], out_bits, shift)
+                return [sgn_store(r, ncols)]
             return _requant_digits(
                 unstk(acc_ref[:, 0:ncols]), out_bits, shift
             )
 
         def upd(h_digits, l, shift=0):
             acc = _digit_dot(h_digits, w_digits[l])
+            if x_signed:
+                npw = acc.shape[1]
+                # ones-lane rowsum + the weight's precomputed
+                # correction row: acc becomes H_levels @ W_levels
+                acc = (
+                    acc
+                    + (acc[:, npw - 1 : npw] << 7)
+                    + corr_refs[l][0:1, :]
+                )
+                r = _requant_raw(acc, out_bits, shift)
+                return [sgn_store(r, npw)]
             if w_info[l] is not None:
                 s, rw = w_info[l]
                 acc = lane_unstack(acc, s, rw, kroll)
@@ -780,7 +879,14 @@ def fused_model_epoch(
             if n_layers > 1:
                 h = agg(h, rw_h, final=False, shift=sh[si]); si += 1
             acc = _digit_dot(h, w_digits[-1])
-            if w_info[-1] is not None:
+            if x_signed:
+                npw = acc.shape[1]
+                acc = (
+                    acc
+                    + (acc[:, npw - 1 : npw] << 7)
+                    + corr_refs[-1][0:1, :]
+                )
+            elif w_info[-1] is not None:
                 s, rw = w_info[-1]
                 acc = lane_unstack(acc, s, rw, kroll)
             o_ref[0] = acc[:, 0:oc].astype(jnp.float32)
@@ -801,6 +907,10 @@ def fused_model_epoch(
         pl.BlockSpec(kw.shape, lambda b, occ: (0, 0, 0),
                      memory_space=pltpu.VMEM)
         for kw in kw_arrays
+    ] + [
+        pl.BlockSpec(cr.shape, lambda b, occ: (0, 0),
+                     memory_space=pltpu.VMEM)
+        for cr in corr_arrays
     ] + [
         pl.BlockSpec(memory_space=pl.ANY),  # a_stack stays in HBM
     ]
@@ -856,7 +966,8 @@ def fused_model_epoch(
         interpret=interpret,
     )
     return run(
-        chunk_occ.astype(jnp.int32), x_stack, *kw_arrays, a_stack,
+        chunk_occ.astype(jnp.int32), x_stack, *kw_arrays,
+        *corr_arrays, a_stack,
     )
 
 

@@ -906,8 +906,14 @@ def _packmm(
                     acc, b_stk[0], b_stk[1],
                     lambda v, k: pltpu.roll(v, shift=k, axis=v.ndim - 1),
                 )
+            def clip(v):
+                # out_cols narrows the stored block; without it the
+                # block is tn wide and must NOT be sliced (np_ > tn
+                # at wide-N shapes)
+                return v if out_cols is None else v[:, 0:ocp]
+
             if out_bits is None:
-                v = acc[:, 0:ocp]
+                v = clip(acc)
                 o_ref[:] = v if raw_i32 else v.astype(jnp.float32)
                 return
             r = _requant(acc, out_bits, shift)
@@ -918,12 +924,12 @@ def _packmm(
                         (r >> (d * DIGIT_BITS)) & ((1 << width) - 1)
                     ).astype(jnp.int8)
             elif out_signed:  # packed signed byte plane (bits 5-8)
-                o_ref[0] = (r[:, 0:ocp] - _OFFSET).astype(jnp.int8)
+                o_ref[0] = (clip(r) - _OFFSET).astype(jnp.int8)
             else:  # packed digit fields
                 for d in range(nd_o):
                     width = min(DIGIT_BITS, out_bits - d * DIGIT_BITS)
                     dig = (
-                        (r[:, 0:ocp] >> (d * DIGIT_BITS))
+                        (clip(r) >> (d * DIGIT_BITS))
                         & ((1 << width) - 1)
                     ).astype(jnp.int8)
                     o_ref[d] = _pack_groups(dig, f_o, interpret)
@@ -956,12 +962,15 @@ def _packmm(
             memory_space=pltpu.VMEM,
         )
 
+    # stored column-block width: tn per j-block normally; the
+    # out_cols slice implies a single (narrower) block
+    ow = tn if out_cols is None else ocp
     if out_bits is None:
         out_shape = jax.ShapeDtypeStruct(
             (mp, ocp), jnp.int32 if raw_i32 else jnp.float32
         )
         out_spec = pl.BlockSpec(
-            (tm, ocp), strip(lambda i, j, t, *_: (i, j)),
+            (tm, ow), strip(lambda i, j, t, *_: (i, j)),
             memory_space=pltpu.VMEM,
         )
     elif out_form == "digits":
@@ -976,7 +985,7 @@ def _packmm(
             jnp.int8 if out_signed else jnp.int32,
         )
         out_spec = pl.BlockSpec(
-            (nd_o, tm // rpw_o, ocp),
+            (nd_o, tm // rpw_o, ow),
             strip(lambda i, j, t, *_: (0, i, j)),
             memory_space=pltpu.VMEM,
         )

@@ -324,3 +324,21 @@ def test_prepared_rhs_stream_exact(rng):
     np.testing.assert_array_equal(
         np.asarray(unpack_rows(c2)), bitmm_np(qa, qb, 8, 8, 2)
     )
+
+
+@pytest.mark.parametrize("N", [512, 300])
+def test_packmm_wide_n_multi_tile(rng, N):
+    """N beyond one lane tile (nn > 1 column blocks) — regression for
+    the out_cols refactor slicing a tn-wide block at np_ width."""
+    qa = rng.integers(0, 2, (512, 512)).astype(np.int32)
+    qb = rng.integers(0, 4, (512, N)).astype(np.int32)
+    a = pack_rows(jnp.asarray(qa), 1)
+    b = digit_pack(jnp.asarray(qb), 2)
+    c = packmm_to_packed(a, b, 2)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_rows(c)), bitmm_np(qa, qb, 1, 2, 2)
+    )
+    f = packmm_to_f32(a, b)
+    np.testing.assert_array_equal(
+        np.asarray(f), bitmm_np(qa, qb, 1, 2, None).astype(np.float32)
+    )
