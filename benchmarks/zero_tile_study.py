@@ -132,11 +132,12 @@ def main() -> int:
             )
             rows.append(row)
             print(row, flush=True)
+            if args.csv:
+                # incremental: keep finished rows if a later dataset
+                # dies mid-sweep
+                from qgtc_ppopp22_tpu.utils.metrics import write_csv
 
-    if args.csv and rows:
-        from qgtc_ppopp22_tpu.utils.metrics import write_csv
-
-        write_csv(args.csv, rows, list(rows[0].keys()))
+                write_csv(args.csv, rows, list(rows[0].keys()))
     return 0
 
 

@@ -239,12 +239,18 @@ def mega_plan_probe(
                 x_levels_bits=x_levels_bits,
             )
 
+        # Compile at the REAL batch count: buffer-assignment failures
+        # can be B-dependent (observed: XLA stack-allocated a
+        # [25, 2560, 48] f32 bucket output in VMEM and errored — a
+        # B=1 probe compiled fine and the real program then crashed).
+        # The real call hits the compile cache, so this costs nothing
+        # extra.
         shapes = [
-            jax.ShapeDtypeStruct((1, pnw, pn), jnp.int32),
-            jax.ShapeDtypeStruct((1, nd_x, pn, xp), jnp.int8),
+            jax.ShapeDtypeStruct((B, pnw, pn), jnp.int32),
+            jax.ShapeDtypeStruct((B, nd_x, pn, xp), jnp.int8),
         ]
         if with_occ:
-            shapes.append(jax.ShapeDtypeStruct((1, nch), jnp.int32))
+            shapes.append(jax.ShapeDtypeStruct((B, nch), jnp.int32))
         try:
             jax.jit(fn).lower(*shapes).compile()
             _PROBE_CACHE[key] = (ra, uo)

@@ -212,7 +212,9 @@ class MeshEngine:
                             [mega_block_occ(b.a_words, chunk, cb)
                              for b in local]
                         )
-                        if 1.0 - occ_np.mean() >= 0.02:
+                        # measured win threshold — see runtime.py and
+                        # results/zero_tile_streaming.csv
+                        if 1.0 - occ_np.mean() >= 0.30:
                             occ = self._put(
                                 occ_np, P("dp", None, None)
                             )

@@ -571,11 +571,15 @@ class QGTCEngine:
                             for b in bs
                         ]
                     )
-                    # Prune: below ~2% skippable blocks the predicated
-                    # branches cost more than the skipped work saves —
-                    # run the straight-line dense kernel so skipping
-                    # is never a regression.
-                    if 1.0 - occ_np.mean() >= 0.02:
+                    # Gate on the measured win threshold: the
+                    # per-dataset streaming study
+                    # (results/zero_tile_streaming.csv) wins at 47%
+                    # skippable blocks (arxiv 1.14x) but LOSES at
+                    # 16-22% (reddit 0.84x, soc 0.92x) — per-block
+                    # predication overhead needs a high hit rate to
+                    # pay for itself. Auto-on only above 30%;
+                    # --zerotile_jump still forces.
+                    if 1.0 - occ_np.mean() >= 0.30:
                         occ = jax.device_put(occ_np)
             def mega_fn(t, w_, with_occ=occ is not None,
                         xlb=x_levels_bits, ra=plan_res, uo=plan_uo):
