@@ -49,25 +49,39 @@ def _r8(n):
 
 
 def bucket_model(pn, xp, nd_x, n_layers, out_dim, model, bits,
-                 resident):
+                 resident, feat=None):
     """(hbm_bytes, mxu_macs) for ONE batch of a ``pn`` bucket."""
     # HBM: packed A words; resident crosses once, streaming once per
-    # aggregation (GCN has n_layers aggs incl. the final one; GIN has
-    # n_layers - 1).
-    n_agg = n_layers if model == "gcn" else n_layers - 1
+    # aggregation. Both 3-layer chains run n_layers aggregations
+    # (GCN: 2 hidden + the final f32 one; GIN: A@X + 2 hidden —
+    # main_qgtc.py:127-154).
+    n_agg = n_layers
     a_bytes = pn * pn // 8
     hbm = a_bytes * (1 if resident else n_agg)
     x_bytes = pn * xp * (1 if bits > 4 else nd_x)  # levels form >4 bit
     hbm += x_bytes
     hbm += pn * _r8(out_dim) * 4  # stored logits
-    # MXU: lane-stacking holds every aggregation at ONE 128-lane pass
-    # (hidden <= 64); updates pay nd_h * nd_w_eff passes (w planes
-    # lane-stack to 1, so 8-bit h x stacked w = 2 passes).
-    nd_h = 2 if bits > 4 else 1
-    agg_macs = n_agg * pn * pn * LANE  # stacked: 1 pass per agg
-    upd_macs = n_layers * pn * LANE * LANE * nd_h
-    # first update contracts over xp (feature dim), not 128
-    upd_macs += pn * max(xp - LANE, 0) * LANE * nd_h
+    # MXU: signed/lane-stacked chains hold every aggregation at ONE
+    # 128-lane pass; GIN's FIRST aggregation contracts X directly and
+    # pays nd_x passes when the feature width is a 128 multiple (no
+    # free ones-lane -> MIXED mode digit planes).
+    if model == "gin":
+        # GIN's first aggregation emits feature-width output (xp
+        # lanes — 5 lane-tiles at reddit's 640), and pays nd_x
+        # passes when a 128-multiple feature width leaves no free
+        # ones-lane (MIXED mode digit planes at >4 bits).
+        first_nd = (
+            nd_x
+            if bits > 4 and (feat is None or _r8(feat) >= xp)
+            else 1
+        )
+        agg_macs = first_nd * pn * pn * xp
+        agg_macs += (n_agg - 1) * pn * pn * LANE
+    else:
+        agg_macs = n_agg * pn * pn * LANE
+    # updates: signed chain = 1 pass per GEMM
+    upd_macs = n_layers * pn * LANE * LANE
+    upd_macs += pn * max(xp - LANE, 0) * LANE
     return hbm, agg_macs + upd_macs
 
 
@@ -131,7 +145,7 @@ def main() -> int:
                     resident = False
                 hbm, macs = bucket_model(
                     pn, xp, nd_x, cfg.num_layers, ds.num_classes,
-                    args.model, bits, resident,
+                    args.model, bits, resident, feat=it.feat_dim,
                 )
                 hbm_total += hbm
                 macs_total += macs

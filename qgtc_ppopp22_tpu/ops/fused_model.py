@@ -405,20 +405,23 @@ def fused_model_epoch(
     # every dot RHS: weight real widths < 128 always hold at the
     # reference configs; GIN additionally needs x_cols < xp (its
     # first aggregation uses X as the RHS).
-    x_signed = (
-        x_levels_bits is not None
-        and all(w.shape[1] < w.digits.shape[2] for w in ws)
-        and (
-            model == "gcn"
-            or (x_cols is not None and _round8(int(x_cols)) < xp)
-        )
+    x_signed = x_levels_bits is not None and all(
+        w.shape[1] < w.digits.shape[2] for w in ws
+    )
+    # GIN's first aggregation uses X as the dot RHS and needs a free
+    # lane for the ones column; a 128-multiple feature width has none
+    # (arxiv/soc feat=128). MIXED mode: that one aggregation runs on
+    # split digit planes and its requant stores the signed form, so
+    # the rest of the chain still runs single-plane.
+    x_mixed = x_signed and model == "gin" and not (
+        x_cols is not None and _round8(int(x_cols)) < xp
     )
     resident_a, unpack_once = mega_vmem_plan(
         pn, nd_x, xp, ws, out_cols=out_cols, resident_a=resident_a,
         unpack_once=unpack_once, model=model,
         x_split_digits=(
             num_digits(x_levels_bits)
-            if (x_levels_bits is not None and not x_signed)
+            if (x_levels_bits is not None and (not x_signed or x_mixed))
             else 0
         ),
     )
@@ -515,7 +518,7 @@ def fused_model_epoch(
             )
     cb = pn // nj
 
-    x_split = x_levels_bits is not None and not x_signed
+    x_split = x_levels_bits is not None and (not x_signed or x_mixed)
 
     def kernel(occ_ref, x_ref, *rest):
         ws_refs = rest[:n_layers]
@@ -535,7 +538,7 @@ def fused_model_epoch(
         def kroll(v, k):  # lane roll (Mosaic lane rotate)
             return pltpu.roll(v, shift=k, axis=v.ndim - 1)
 
-        if x_signed:
+        if x_signed and not x_mixed:
             # byte LEVELS -> offset-signed plane (level - 128); GIN's
             # first aggregation uses X as the dot RHS, so its free
             # last lane carries the ones column.
@@ -607,7 +610,8 @@ def fused_model_epoch(
                 v = v | occ_ref[b, c, j]
             return v != 0
 
-        def agg(h_digits, rw_h, final: bool, shift: int = 0):
+        def agg(h_digits, rw_h, final: bool, shift: int = 0,
+                h_signed: bool = x_signed):
             """acc_rows = A @ H.
 
             Resident mode: the FIRST aggregation streams A chunk by
@@ -653,11 +657,13 @@ def fused_model_epoch(
                 )
 
             def dotfix(part):
-                # signed mode: the RHS ones-lane emitted this A-rows
+                # signed RHS: its ones-lane emitted this A-rows
                 # slice's degree; + 128*deg completes A @ (h_s + 128).
                 # Linear in the part, so 2-D block partials correct
-                # independently and accumulate exactly.
-                if x_signed:
+                # independently and accumulate exactly. (In MIXED mode
+                # the first aggregation's RHS is unsigned digit
+                # planes — no correction.)
+                if h_signed:
                     return part + (part[:, ncols - 1 : ncols] << 7)
                 return part
 
@@ -875,7 +881,8 @@ def fused_model_epoch(
             agg(h, rw_h, final=True)
         else:  # gin: aggregate first, weight-multiply last
             si = 0
-            h = agg(x_digits, x_cols, final=False, shift=sh[si]); si += 1
+            h = agg(x_digits, x_cols, final=False, shift=sh[si],
+                    h_signed=x_signed and not x_mixed); si += 1
             rw_h = x_cols
             for l in range(n_layers - 1):
                 h = upd(h, l, sh[si]); si += 1

@@ -83,3 +83,31 @@ def test_signed_mega_zero_block_occ(rng, resident):
     np.testing.assert_array_equal(
         out[:, :cls], gold[:, :cls].astype(np.float32)
     )
+
+
+@pytest.mark.parametrize("shifts", [None, (1, 2, 0, 1, 2)])
+def test_mixed_mode_gin_feat128(rng, shifts):
+    """GIN with a 128-multiple feature width has no free X lane: the
+    first aggregation runs on split digit planes and its requant
+    stores the signed form, so the rest of the chain is single-plane
+    (MIXED mode). Exact vs golden."""
+    bits, pn, xdim, hid, cls = 8, 512, 128, 64, 40
+    qa = (rng.random((pn, pn)) < 0.02).astype(np.int32)
+    qx = rng.integers(0, 256, (pn, xdim)).astype(np.int32)
+    qws = [
+        rng.integers(0, 256, s).astype(np.int32)
+        for s in ((xdim, hid), (hid, hid), (hid, cls))
+    ]
+    aw = pack_rows_np(qa, 1)[0]
+    ws = [digit_pack(jnp.asarray(w), bits) for w in qws]
+    out = np.asarray(
+        fused_model_epoch(
+            jnp.asarray(aw)[None], jnp.asarray(_levels_bytes(qx, bits)),
+            ws, bits, model="gin", x_cols=xdim, x_levels_bits=bits,
+            out_cols=cls, shifts=shifts,
+        )
+    )[0]
+    gold = qgin_golden(qa, qx, qws, bits, bits, shifts=shifts)
+    np.testing.assert_array_equal(
+        out[:, :cls], gold[:, :cls].astype(np.float32)
+    )
