@@ -106,7 +106,7 @@ print("MEGA-HW-OK")
 # lane-stacked multi-digit paths on-chip (ops/digits.lane_stack):
 # 8-bit operands at real widths <= 64 ride one 128-lane tile — the
 # Mosaic pltpu.roll fold-back must match the interpret-mode semantics
-from tests.golden import qgcn_golden, qgin_golden
+from qgtc_ppopp22_tpu.models.qmodels import qgcn_golden, qgin_golden
 M, K, N = 512, 640, 16
 qa8 = rng.integers(0, 256, (M, K)).astype(np.int32)
 qb8 = rng.integers(0, 256, (K, N)).astype(np.int32)
@@ -134,6 +134,43 @@ for model, golden in (("gcn", qgcn_golden), ("gin", qgin_golden)):
                 np.asarray(out[b])[:, :want.shape[1]],
                 want.astype(np.float32)), (model, resident, b)
 print("STACKED-HW-OK")
+
+# offset-signed single-plane paths (round 4): the PreparedRHS
+# streaming GEMM and the signed/mixed mega chains (x as byte levels)
+from qgtc_ppopp22_tpu.ops.packmm import prepare_rhs
+qa8 = rng.integers(0, 256, (512, 640)).astype(np.int32)
+qb8 = rng.integers(0, 256, (640, 60)).astype(np.int32)
+A8 = pack_rows(jnp.asarray(qa8), 8)
+bp = prepare_rhs(digit_pack(jnp.asarray(qb8), 8))
+assert np.array_equal(
+    np.asarray(unpack_rows(packmm_to_packed(A8, bp, 8))),
+    bitmm_np(qa8, qb8, 8, 8, 8))
+assert np.array_equal(
+    np.asarray(packmm_to_f32(A8, bp, out_cols=60)),
+    bitmm_np(qa8, qb8, 8, 8, None))
+print("PREPARED-RHS-HW-OK")
+
+def levels_bytes(q):
+    d = digit_pack(jnp.asarray(q), 8).digits
+    return (np.asarray(d[0], np.int32) | (np.asarray(d[1], np.int32) << 4)).astype(np.int8)
+for model, golden, feat in (("gcn", qgcn_golden, 29),
+                            ("gin", qgin_golden, 29),
+                            ("gin", qgin_golden, 128)):  # 128: MIXED
+    pn, hid, ncls = 512, 16 if model == "gcn" else 64, 12
+    qa = (rng.random((pn, pn)) < 0.03).astype(np.int32)
+    qx = rng.integers(0, 256, (pn, feat)).astype(np.int32)
+    qws = [rng.integers(0, 256, s).astype(np.int32)
+           for s in [(feat, hid), (hid, hid), (hid, ncls)]]
+    ws8 = [digit_pack(jnp.asarray(w), 8) for w in qws]
+    out = fused_model_epoch(
+        jnp.asarray(pack_rows_np(qa, 1)), jnp.asarray(levels_bytes(qx))[None, None],
+        ws8, 8, model=model, x_cols=feat, x_levels_bits=8, out_cols=ncls)
+    want = golden(qa, qx, qws, 8, 8)
+    oc = np.asarray(out[0]).shape[1]
+    assert np.array_equal(
+        np.asarray(out[0])[:, :ncls], want[:, :ncls].astype(np.float32)
+    ), (model, feat)
+print("SIGNED-CHAIN-HW-OK")
 """
 
 
@@ -145,3 +182,5 @@ def test_kernels_on_hardware():
     assert "PACKMM-SPARSE-HW-OK" in out
     assert "MEGA-HW-OK" in out
     assert "STACKED-HW-OK" in out
+    assert "PREPARED-RHS-HW-OK" in out
+    assert "SIGNED-CHAIN-HW-OK" in out
