@@ -501,7 +501,12 @@ def fused_model_epoch(
     # using.
     guard = chunk_occ is not None
     if chunk_occ is None:
-        chunk_occ = jnp.ones((B, nch), jnp.int32)
+        # The dense kernel never reads occ_ref (no guards compiled),
+        # but the scalar-prefetch array still occupies SMEM at ~1.4 KB
+        # per row — a (B, nch) placeholder overflows the 1 MB SMEM
+        # near B~1000 (ogbn-products' 1250-batch epochs). Prefetch a
+        # 1-row dummy instead.
+        chunk_occ = jnp.ones((1, nch), jnp.int32)
     occ_3d = chunk_occ.ndim == 3
     if occ_3d:
         nj = chunk_occ.shape[2]
@@ -512,11 +517,18 @@ def fused_model_epoch(
             )
     else:
         nj = 1
-        if chunk_occ.shape != (B, nch):
+        if guard and chunk_occ.shape != (B, nch):
             raise ValueError(
                 f"chunk_occ shape {chunk_occ.shape} != {(B, nch)}"
             )
     cb = pn // nj
+    # SMEM pads scalar-prefetch arrays to ~4 KB per ROW: a (B, ...)
+    # occupancy blows the 1 MB scalar memory near B~250 (observed:
+    # ogbn-products' 421-batch bucket = 421 x 4096 bytes = exactly
+    # the failing allocation). Flatten to ONE row; the kernel indexes
+    # with b * nch * nj + c * nj + j.
+    occ_stride = nch * nj
+    chunk_occ = chunk_occ.reshape(1, -1)
 
     x_split = x_levels_bits is not None and (not x_signed or x_mixed)
 
@@ -600,14 +612,12 @@ def fused_model_epoch(
             )
 
         def occ_block(c, j):
-            return (occ_ref[b, c, j] if occ_3d else occ_ref[b, c]) != 0
+            return occ_ref[0, b * occ_stride + c * nj + j] != 0
 
         def occ_chunk(c):
-            if not occ_3d:
-                return occ_ref[b, c] != 0
-            v = occ_ref[b, c, 0]
+            v = occ_ref[0, b * occ_stride + c * nj]
             for j in range(1, nj):
-                v = v | occ_ref[b, c, j]
+                v = v | occ_ref[0, b * occ_stride + c * nj + j]
             return v != 0
 
         def agg(h_digits, rw_h, final: bool, shift: int = 0,
