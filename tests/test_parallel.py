@@ -164,6 +164,11 @@ for model in ("gcn", "gin"):
         modes = {"mega" if s[4] else "ring" for s in eng._staged}
         expect = {"mega"} if sp == 1 else {"ring"}
         assert modes == expect, (model, dp, sp, modes)
+        # accuracy parity: the mesh deployment scores IDENTICALLY to
+        # the single-chip engine (VERDICT r3 #6)
+        acc_mesh = eng.evaluate(batcher, ds.labels)
+        acc_ref = ref_eng.evaluate(batcher, ds.labels)
+        assert acc_mesh == acc_ref, (model, dp, sp, acc_mesh, acc_ref)
     print(f"MESH-ENGINE-{model.upper()}-OK")
 print("PACKED-ALL-OK")
 """
