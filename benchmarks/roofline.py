@@ -62,20 +62,14 @@ def bucket_model(pn, xp, nd_x, n_layers, out_dim, model, bits,
     hbm += x_bytes
     hbm += pn * _r8(out_dim) * 4  # stored logits
     # MXU: signed/lane-stacked chains hold every aggregation at ONE
-    # 128-lane pass; GIN's FIRST aggregation contracts X directly and
-    # pays nd_x passes when the feature width is a 128 multiple (no
-    # free ones-lane -> MIXED mode digit planes).
+    # 128-lane pass. GIN's FIRST aggregation contracts X directly and
+    # emits feature-width output (xp lanes — 5 lane-tiles at reddit's
+    # 640): ONE pass at every bit width since round 5 (>4-bit runs the
+    # signed plane with the degree correction row-summed on the VPU
+    # when no free ones-lane exists; the retired MIXED mode paid nd_x
+    # digit passes at 128-multiple widths).
     if model == "gin":
-        # GIN's first aggregation emits feature-width output (xp
-        # lanes — 5 lane-tiles at reddit's 640), and pays nd_x
-        # passes when a 128-multiple feature width leaves no free
-        # ones-lane (MIXED mode digit planes at >4 bits).
-        first_nd = (
-            nd_x
-            if bits > 4 and (feat is None or _r8(feat) >= xp)
-            else 1
-        )
-        agg_macs = first_nd * pn * pn * xp
+        agg_macs = pn * pn * xp
         agg_macs += (n_agg - 1) * pn * pn * LANE
     else:
         agg_macs = n_agg * pn * pn * LANE
@@ -136,10 +130,13 @@ def main() -> int:
                 pn = b.padded_nodes
                 xp = round_up(it.feat_dim, LANE)
                 try:
+                    # x_split_digits=0: >4-bit chains run SIGNED at
+                    # the benchmark configs (every weight has a free
+                    # lane), which carries no digit-split scratch.
                     resident, _ = mega_vmem_plan(
                         pn, 1 if bits > 4 else nd_x, xp, ws,
                         out_cols=ds.num_classes, model=args.model,
-                        x_split_digits=nd_x if bits > 4 else 0,
+                        x_split_digits=0,
                     )
                 except ValueError:
                     resident = False

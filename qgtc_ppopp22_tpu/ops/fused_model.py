@@ -162,8 +162,15 @@ _PROBE_CACHE: dict = {}
 
 
 def _vmem_error(e: Exception) -> bool:
+    # Only Mosaic's VMEM / scoped-allocation rejections demote the
+    # residency tier. Unrelated failures whose text merely mentions
+    # memory (HBM RESOURCE_EXHAUSTED, tunnel errors) must surface —
+    # a broader match silently swallowed them into a slower tier.
     s = str(e).lower()
-    return any(m in s for m in ("vmem", "scoped", "exceeds", "memory"))
+    return any(
+        m in s
+        for m in ("vmem", "scoped allocation", "scratch memory")
+    )
 
 
 def mega_plan_probe(
@@ -203,11 +210,16 @@ def mega_plan_probe(
     B, pnw, pn = a_stack_shape
     _, nd_x, _, xp = x_stack_shape
     if jax.default_backend() != "tpu":
+        # mirror the kernel's x_split condition: signed mode carries
+        # no digit-split scratch
+        x_signed_est = x_levels_bits is not None and all(
+            w.shape[1] < w.digits.shape[2] for w in ws
+        )
         plan = mega_vmem_plan(
             pn, nd_x, xp, ws, out_cols=out_cols, model=model,
             x_split_digits=(
                 num_digits(x_levels_bits)
-                if x_levels_bits is not None
+                if (x_levels_bits is not None and not x_signed_est)
                 else 0
             ),
         )
@@ -258,6 +270,10 @@ def mega_plan_probe(
         except Exception as e:  # Mosaic VMEM rejection -> next tier
             if not _vmem_error(e):
                 raise
+            print(
+                f"[mega-probe] pn={pn} tier (resident={ra}, "
+                f"unpack_once={uo}) rejected: {str(e)[:160]}"
+            )
             last_err = e
     raise ValueError(
         f"bucket pn={pn}: no mega residency tier compiles "
@@ -402,26 +418,32 @@ def fused_model_epoch(
     # the identity in prepare_rhs). Every GEMM runs ONE MXU pass (the
     # digit path pays 2 per update even lane-stacked) with no digit
     # split and single-plane requant stores. Needs a free lane on
-    # every dot RHS: weight real widths < 128 always hold at the
-    # reference configs; GIN additionally needs x_cols < xp (its
-    # first aggregation uses X as the RHS).
+    # every WEIGHT (always holds at the reference configs: real
+    # widths < 128); X needs none — see x_ones_lane below.
     x_signed = x_levels_bits is not None and all(
         w.shape[1] < w.digits.shape[2] for w in ws
     )
-    # GIN's first aggregation uses X as the dot RHS and needs a free
-    # lane for the ones column; a 128-multiple feature width has none
-    # (arxiv/soc feat=128). MIXED mode: that one aggregation runs on
-    # split digit planes and its requant stores the signed form, so
-    # the rest of the chain still runs single-plane.
-    x_mixed = x_signed and model == "gin" and not (
-        x_cols is not None and _round8(int(x_cols)) < xp
+    # GIN's first aggregation uses X as the dot RHS. When the real
+    # feature width leaves a free padded lane, that lane carries the
+    # constant ones column and the degree correction rides the same
+    # MXU pass for free. At 128-multiple widths (arxiv/soc feat=128)
+    # there is no free lane: the degree is instead row-summed from the
+    # unpacked 0/1 adjacency chunk on the VPU ("deg" mode below) —
+    # ~8x cheaper than either an appended ones lane-tile (one extra
+    # MXU pass) or the retired MIXED mode (2 digit passes for the
+    # whole first aggregation).
+    x_ones_lane = (
+        x_signed
+        and model == "gin"
+        and x_cols is not None
+        and _round8(int(x_cols)) < xp
     )
     resident_a, unpack_once = mega_vmem_plan(
         pn, nd_x, xp, ws, out_cols=out_cols, resident_a=resident_a,
         unpack_once=unpack_once, model=model,
         x_split_digits=(
             num_digits(x_levels_bits)
-            if (x_levels_bits is not None and (not x_signed or x_mixed))
+            if (x_levels_bits is not None and not x_signed)
             else 0
         ),
     )
@@ -530,7 +552,7 @@ def fused_model_epoch(
     occ_stride = nch * nj
     chunk_occ = chunk_occ.reshape(1, -1)
 
-    x_split = x_levels_bits is not None and (not x_signed or x_mixed)
+    x_split = x_levels_bits is not None and not x_signed
 
     def kernel(occ_ref, x_ref, *rest):
         ws_refs = rest[:n_layers]
@@ -550,12 +572,14 @@ def fused_model_epoch(
         def kroll(v, k):  # lane roll (Mosaic lane rotate)
             return pltpu.roll(v, shift=k, axis=v.ndim - 1)
 
-        if x_signed and not x_mixed:
-            # byte LEVELS -> offset-signed plane (level - 128); GIN's
-            # first aggregation uses X as the dot RHS, so its free
-            # last lane carries the ones column.
+        if x_signed:
+            # byte LEVELS -> offset-signed plane (level - 128). With a
+            # free padded lane (x_ones_lane), GIN's first aggregation
+            # reads its degree from the constant ones column parked
+            # there; without one, "deg" mode row-sums the adjacency
+            # chunk instead and X ships unmodified.
             xs32 = (x_ref[0, 0].astype(jnp.int32) & 255) - 128
-            if model == "gin":
+            if x_ones_lane:
                 lane = jax.lax.broadcasted_iota(
                     jnp.int32, xs32.shape, 1
                 )
@@ -584,9 +608,19 @@ def fused_model_epoch(
         ]
 
         def sgn_store(r, ncols):
-            # requantized levels -> offset-signed plane with the
-            # ones-lane restored (pad lanes are exactly 0 by the
-            # correction algebra, so r - 128 lands them on level 0)
+            # requantized levels -> offset-signed plane with the ones
+            # column restored at lane ncols-1 (pad lanes are exactly 0
+            # by the correction algebra, so r - 128 lands them on
+            # level 0). ONLY for upd outputs: their lane ncols-1 is
+            # the weight's ones out-column — a guaranteed-free pad
+            # lane (x_signed requires every weight's real width <
+            # npw) — and the following aggregation reads the ones
+            # column for its degree. Aggregation outputs must NOT use
+            # this store: they only feed weight multiplies (whose
+            # rowsum comes from the weight's ones COLUMN), and at a
+            # 128-multiple feature width lane ncols-1 is a REAL
+            # column — overwriting it corrupted every MIXED-mode GIN
+            # output until round 5.
             lane = jax.lax.broadcasted_iota(jnp.int32, r.shape, 1)
             return jnp.where(lane == ncols - 1, 1, r - 128).astype(
                 jnp.int8
@@ -621,7 +655,7 @@ def fused_model_epoch(
             return v != 0
 
         def agg(h_digits, rw_h, final: bool, shift: int = 0,
-                h_signed: bool = x_signed):
+                rhs_mode: Optional[str] = "ones" if x_signed else None):
             """acc_rows = A @ H.
 
             Resident mode: the FIRST aggregation streams A chunk by
@@ -666,15 +700,24 @@ def fused_model_epoch(
                     lane_unstack(part, s_h, rw_h, kroll) if stk else part
                 )
 
-            def dotfix(part):
-                # signed RHS: its ones-lane emitted this A-rows
-                # slice's degree; + 128*deg completes A @ (h_s + 128).
-                # Linear in the part, so 2-D block partials correct
-                # independently and accumulate exactly. (In MIXED mode
-                # the first aggregation's RHS is unsigned digit
-                # planes — no correction.)
-                if h_signed:
+            def dotfix(part, a_src):
+                # signed RHS: + 128*deg(A-rows) completes
+                # A @ (h_s + 128). Two degree sources: "ones" reads
+                # the RHS's constant ones-lane output (free — rides
+                # the same MXU pass; upd outputs and free-lane X carry
+                # it); "deg" row-sums the unpacked 0/1 chunk on the
+                # VPU (first GIN aggregation when the feature width
+                # leaves no free lane). Both are linear in the A
+                # block, so 2-D block partials correct independently
+                # and accumulate exactly (a skipped block's true deg
+                # contribution is 0). None: unsigned digit RHS.
+                if rhs_mode == "ones":
                     return part + (part[:, ncols - 1 : ncols] << 7)
+                if rhs_mode == "deg":
+                    deg = jnp.sum(
+                        a_src.astype(jnp.int32), axis=1, keepdims=True
+                    )
+                    return part + (deg << 7)
                 return part
 
             def emit(c, part):
@@ -756,11 +799,12 @@ def fused_model_epoch(
                             lo, hi = c * chunk, (c + 1) * chunk
                             for j in range(nj):
                                 def _acc(j=j, a_c=a_c, lo=lo, hi=hi):
+                                    a_cj = a_c[:, j * cb:(j + 1) * cb]
                                     part = dotfix(_digit_dot(
-                                        [a_c[:, j * cb:(j + 1) * cb]],
+                                        [a_cj],
                                         [hd[j * cb:(j + 1) * cb]
                                          for hd in h_eff],
-                                    ))
+                                    ), a_cj)
                                     if final:
                                         o_ref[0, lo:hi, :] = (
                                             o_ref[0, lo:hi, :]
@@ -779,7 +823,10 @@ def fused_model_epoch(
                     else:
                         def compute_c(c=c, first=first):
                             a_c = load_chunk(c, first)
-                            emit(c, dotfix(_digit_dot([a_c], h_eff)))
+                            emit(
+                                c,
+                                dotfix(_digit_dot([a_c], h_eff), a_c),
+                            )
 
                         guarded(c, compute_c)
                 seen_a[0] = True
@@ -822,7 +869,7 @@ def fused_model_epoch(
                         a_c = _extract_groups(
                             a_vmem[slot], 1, interpret
                         )
-                        emit(c, dotfix(_digit_dot([a_c], h_eff)))
+                        emit(c, dotfix(_digit_dot([a_c], h_eff), a_c))
                         continue
                     # exact zero init; occupied blocks accumulate below
                     emit_zero(c)
@@ -836,7 +883,7 @@ def fused_model_epoch(
                                 hd[j * cb:(j + 1) * cb]
                                 for hd in h_eff
                             ]
-                            part = dotfix(_digit_dot([a_cj], hj))
+                            part = dotfix(_digit_dot([a_cj], hj), a_cj)
                             lo, hi = c * chunk, (c + 1) * chunk
                             if final:
                                 o_ref[0, lo:hi, :] = (
@@ -857,7 +904,18 @@ def fused_model_epoch(
                 return None
             if x_signed:  # acc already carries the deg corrections
                 r = _requant_raw(acc_ref[:, 0:ncols], out_bits, shift)
-                return [sgn_store(r, ncols)]
+                # Plain r - 128, NO ones-lane: aggregation outputs
+                # only ever feed weight multiplies, whose rowsum
+                # correction comes from the weight's ones COLUMN (see
+                # sgn_store). When the RHS carried a ones-lane, lane
+                # ncols-1 here is 129*deg garbage — harmless, because
+                # the next weight's row ncols-1 is a pad row (level 0)
+                # and the per-k correction term (H_s[k]+128)(W_s[k]+
+                # 128) vanishes for W pad rows regardless of H. At a
+                # 128-multiple feature width every lane is real and
+                # exact (deg mode), and the old sgn_store here
+                # destroyed real column ncols-1.
+                return [(r - 128).astype(jnp.int8)]
             return _requant_digits(
                 unstk(acc_ref[:, 0:ncols]), out_bits, shift
             )
@@ -891,8 +949,14 @@ def fused_model_epoch(
             agg(h, rw_h, final=True)
         else:  # gin: aggregate first, weight-multiply last
             si = 0
-            h = agg(x_digits, x_cols, final=False, shift=sh[si],
-                    h_signed=x_signed and not x_mixed); si += 1
+            h = agg(
+                x_digits, x_cols, final=False, shift=sh[si],
+                rhs_mode=(
+                    ("ones" if x_ones_lane else "deg")
+                    if x_signed
+                    else None
+                ),
+            ); si += 1
             rw_h = x_cols
             for l in range(n_layers - 1):
                 h = upd(h, l, sh[si]); si += 1

@@ -136,7 +136,7 @@ for model, golden in (("gcn", qgcn_golden), ("gin", qgin_golden)):
 print("STACKED-HW-OK")
 
 # offset-signed single-plane paths (round 4): the PreparedRHS
-# streaming GEMM and the signed/mixed mega chains (x as byte levels)
+# streaming GEMM and the signed mega chains (x as byte levels)
 from qgtc_ppopp22_tpu.ops.packmm import prepare_rhs
 qa8 = rng.integers(0, 256, (512, 640)).astype(np.int32)
 qb8 = rng.integers(0, 256, (640, 60)).astype(np.int32)
@@ -153,23 +153,42 @@ print("PREPARED-RHS-HW-OK")
 def levels_bytes(q):
     d = digit_pack(jnp.asarray(q), 8).digits
     return (np.asarray(d[0], np.int32) | (np.asarray(d[1], np.int32) << 4)).astype(np.int8)
+# LINEAR-RANGE data (sparse 0/1 weights + shifts): uniform 0-255
+# saturates every requant to the 255 rail, where value corruption is
+# invisible (the round-4 MIXED-mode bug passed saturating HW tests).
+# feat=128 drives GIN's first aggregation through "deg" mode (VPU
+# row-sum of the adjacency chunk -- the lowering this suite exists to
+# prove on real Mosaic, per the round-3 interpret-vs-HW lesson).
+shifts_l = (0, 2, 3, 2, 3)
 for model, golden, feat in (("gcn", qgcn_golden, 29),
                             ("gin", qgin_golden, 29),
-                            ("gin", qgin_golden, 128)):  # 128: MIXED
+                            ("gin", qgin_golden, 128)):  # 128: deg mode
     pn, hid, ncls = 512, 16 if model == "gcn" else 64, 12
     qa = (rng.random((pn, pn)) < 0.03).astype(np.int32)
-    qx = rng.integers(0, 256, (pn, feat)).astype(np.int32)
-    qws = [rng.integers(0, 256, s).astype(np.int32)
+    qx = rng.integers(0, 4, (pn, feat)).astype(np.int32)
+    qws = [(rng.random(s) < 0.1).astype(np.int32)
            for s in [(feat, hid), (hid, hid), (hid, ncls)]]
     ws8 = [digit_pack(jnp.asarray(w), 8) for w in qws]
     out = fused_model_epoch(
         jnp.asarray(pack_rows_np(qa, 1)), jnp.asarray(levels_bytes(qx))[None, None],
-        ws8, 8, model=model, x_cols=feat, x_levels_bits=8, out_cols=ncls)
-    want = golden(qa, qx, qws, 8, 8)
-    oc = np.asarray(out[0]).shape[1]
+        ws8, 8, model=model, x_cols=feat, x_levels_bits=8, out_cols=ncls,
+        shifts=shifts_l)
+    want = golden(qa, qx, qws, 8, 8, shifts=shifts_l)
     assert np.array_equal(
         np.asarray(out[0])[:, :ncls], want[:, :ncls].astype(np.float32)
     ), (model, feat)
+    # saturating-rail variant keeps the clamp semantics covered
+    qx2 = rng.integers(0, 256, (pn, feat)).astype(np.int32)
+    qws2 = [rng.integers(0, 256, s).astype(np.int32)
+            for s in [(feat, hid), (hid, hid), (hid, ncls)]]
+    out2 = fused_model_epoch(
+        jnp.asarray(pack_rows_np(qa, 1)), jnp.asarray(levels_bytes(qx2))[None, None],
+        [digit_pack(jnp.asarray(w), 8) for w in qws2], 8,
+        model=model, x_cols=feat, x_levels_bits=8, out_cols=ncls)
+    want2 = golden(qa, qx2, qws2, 8, 8)
+    assert np.array_equal(
+        np.asarray(out2[0])[:, :ncls], want2[:, :ncls].astype(np.float32)
+    ), (model, feat, "saturating")
 print("SIGNED-CHAIN-HW-OK")
 """
 
