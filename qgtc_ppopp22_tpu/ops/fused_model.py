@@ -144,20 +144,24 @@ def mega_vmem_plan(
             f"bucket pn={pn} (x digits={nd_x}) needs ~{need >> 20} MB "
             "VMEM even for the streaming kernel; use the scan engine"
         )
-    # Fastest tier: when an int8 copy of A also fits, unpack each
-    # chunk ONCE (first aggregation) into a resident int8 buffer and
-    # dot straight from it afterwards — later aggregations pay zero
-    # unpack VPU work (the per-agg SWAR unpack is NOT hidden at
-    # N=128-lane aggregation widths, unlike the large-N packmm case).
+    # unpack_once (an int8 copy of A written at the first aggregation,
+    # re-read by later ones) is an ABLATION tier, not the default:
+    # re-measured in r5 it LOSES to re-unpacking per aggregation at
+    # every bucket size (pn=1024: 3.47 vs 2.95 us/batch; 512: +4%;
+    # 2048/2560: +2%, results/grid_overhead_study.csv) — the SWAR
+    # unpack overlaps the MXU passes while the pn^2 VMEM write+read
+    # does not come for free.
     if unpack_once is None:
-        unpack_once = resident_a and need + pn * pn <= (15 << 20)
+        unpack_once = False
     else:
         unpack_once = unpack_once and resident_a
     return resident_a, unpack_once
 
 
-# Tier order, fastest first: resident+unpack-once, resident, streaming.
-_MEGA_TIERS = ((True, True), (True, False), (False, False))
+# Tier order, fastest first: resident, streaming (unpack-once is a
+# measured regression at every bucket — see mega_vmem_plan — and is
+# reachable only by explicit unpack_once=True).
+_MEGA_TIERS = ((True, False), (False, False))
 _PROBE_CACHE: dict = {}
 
 
@@ -335,6 +339,7 @@ def fused_model_epoch(
     x_cols: Optional[int] = None,
     x_levels_bits: Optional[int] = None,
     unpack_once: Optional[bool] = None,
+    blk_sched: Optional[jax.Array] = None,  # int32[B, nch, nj+1]
 ) -> jax.Array:
     """Run the full model over every stacked batch in ONE pallas call.
 
@@ -373,6 +378,19 @@ def fused_model_epoch(
 
     Build occupancy host-side at pack time (``runtime.mega_chunk_occ``
     / ``runtime.mega_block_occ``).
+
+    ``blk_sched`` (RESIDENT mode only, exclusive with ``chunk_occ``):
+    an occupancy-COMPACTED 2-D block schedule — per (batch,
+    row-chunk): ``[count, j_0, j_1, ...]`` listing the occupied
+    column-block indices (``runtime.mega_block_sched``). The kernel
+    runs a ``fori_loop`` over only the occupied blocks, indexing the
+    resident packed words and the RHS through dynamic ref slices, so
+    a skipped block costs NOTHING (no predicated branch, no
+    zero-accumulate) — the form that makes resident-mode zero-tile
+    jumping profitable where the predicated ``chunk_occ`` form
+    measured 0.80x (results/zero_tile.csv). Requires a single
+    effective RHS plane (always true for the production 1/2/4-bit
+    digit and >4-bit signed chains).
 
     ``x_levels_bits``: when set, ``x_stack`` is int8[B, 1, pn, xp]
     **levels** (the full multi-digit value in one byte, bit pattern of
@@ -552,6 +570,32 @@ def fused_model_epoch(
     occ_stride = nch * nj
     chunk_occ = chunk_occ.reshape(1, -1)
 
+    # Occupancy-COMPACTED block schedule (resident zero-tile form):
+    # the prefetch row carries [cnt, j_0, ...] per (batch, chunk) and
+    # the kernel fori-loops over only the occupied blocks.
+    compact = blk_sched is not None
+    if compact:
+        if guard:
+            raise ValueError("blk_sched and chunk_occ are exclusive")
+        if not resident_a:
+            raise ValueError("blk_sched requires the resident kernel")
+        if blk_sched.ndim != 3 or blk_sched.shape[:2] != (B, nch):
+            raise ValueError(
+                f"blk_sched shape {blk_sched.shape} incompatible "
+                f"with B={B} nch={nch}"
+            )
+        nj = blk_sched.shape[2] - 1
+        if nj < 1 or pn % nj or (pn // nj) % 128:
+            raise ValueError(
+                f"blk_sched nj={nj} incompatible with pn={pn}"
+            )
+        cb = pn // nj
+        occ_stride = nch * (nj + 1)
+        chunk_occ = blk_sched.reshape(1, -1)
+        # compact aggs read packed words directly per block; the a8
+        # copy would go stale/unused
+        unpack_once = False
+
     x_split = x_levels_bits is not None and not x_signed
 
     def kernel(occ_ref, x_ref, *rest):
@@ -565,6 +609,9 @@ def fused_model_epoch(
             a8_vmem = rest_s[idx]; idx += 1
         if x_split:
             xs_vmem = rest_s[idx]; idx += 1
+        h_scr = None
+        if compact:
+            h_scr = rest_s[idx]; idx += 1
         acc_ref, sem = rest_s[idx], rest_s[idx + 1]
         b = pl.program_id(0)
         seen_a = [False]  # becomes True once A is fully in VMEM
@@ -754,7 +801,61 @@ def fused_model_epoch(
                 def _skip():
                     emit_zero(c)
 
-            if resident_a:
+            use_compact = compact and len(h_eff) == 1
+            if use_compact:
+                # Occupancy-compacted resident aggregation: per row
+                # chunk, fori_loop over ONLY the occupied column
+                # blocks (indices prefetched in SMEM). A skipped
+                # block costs nothing — no predicated branch, no
+                # zero-accumulate — so the skip win is the full MXU
+                # pass, unlike the predicated chunk_occ form
+                # (results/zero_tile.csv 0.80x). The RHS lives in a
+                # VMEM scratch so blocks can be sliced with dynamic
+                # sublane offsets; packed words are sliced per block
+                # with a dynamic lane offset (cb is a 128-multiple).
+                first = not seen_a[0]
+                if first:
+                    for c in range(nch):
+                        copy(c).start()
+                h_scr[:, 0:ncols] = h_eff[0]
+                for c in range(nch):
+                    if first:
+                        copy(c).wait()
+                    emit_zero(c)
+                    base = b * occ_stride + c * (nj + 1)
+                    cnt = occ_ref[0, base]
+                    lo = c * chunk
+
+                    def body(jj, carry, c=c, lo=lo, base=base):
+                        j = occ_ref[0, base + 1 + jj]
+                        aw = a_vmem[
+                            pl.ds(c * chw, chw), pl.ds(j * cb, cb)
+                        ]
+                        a_cj = _extract_groups(aw, 1, interpret)
+                        hj = h_scr[pl.ds(j * cb, cb), 0:ncols]
+                        part = dotfix(
+                            jax.lax.dot_general(
+                                a_cj, hj, _DOT,
+                                preferred_element_type=jnp.int32,
+                            ),
+                            a_cj,
+                        )
+                        if final:
+                            o_ref[0, lo:lo + chunk, :] = (
+                                o_ref[0, lo:lo + chunk, :]
+                                + unstk(part)[:, 0:oc].astype(
+                                    jnp.float32
+                                )
+                            )
+                        else:
+                            acc_ref[lo:lo + chunk, 0:ncols] = (
+                                acc_ref[lo:lo + chunk, 0:ncols] + part
+                            )
+                        return carry
+
+                    jax.lax.fori_loop(0, cnt, body, 0)
+                seen_a[0] = True
+            elif resident_a:
                 first = not seen_a[0]
                 if first:
                     for c in range(nch):
@@ -1029,6 +1130,13 @@ def fused_model_epoch(
                 (num_digits(x_levels_bits), pn, xp), jnp.int8
             )]
             if x_split
+            else []
+        )
+        + (
+            # compact-mode RHS scratch (dynamic sublane block slices
+            # need the operand in a ref)
+            [pltpu.VMEM((pn, hid_cols), jnp.int8)]
+            if compact
             else []
         )
         + [

@@ -187,7 +187,12 @@ class MeshEngine:
             x_np = np.stack([x_digits_np(b.bit_X, pn) for b in local])
             use_mega = False
             occ = None
-            if self.sp == 1:
+            # _force_ring: test hook — route an sp==1 mesh through the
+            # packed ring kernels anyway, so a 1-device mesh (all the
+            # hardware this environment has) can validate the sp>1
+            # code path's shard_map+Mosaic lowering on a real chip
+            # (tests/test_tpu_hw.py).
+            if self.sp == 1 and not getattr(self, "_force_ring", False):
                 nd_x = x_np.shape[1]
                 xp = x_np.shape[3]
                 try:

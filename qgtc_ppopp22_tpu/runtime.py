@@ -554,39 +554,59 @@ class QGTCEngine:
                     plan_res, plan_uo = resident_a, None
                     # scan fallback below; occ irrelevant
             occ = None
-            if self.zerotile_jump is True or will_stream:
-                chunk = next(
-                    (c for c in (512, 256) if c <= pn_ and pn_ % c == 0),
-                    None,
+            sched = None
+            chunk = next(
+                (c for c in (512, 256) if c <= pn_ and pn_ % c == 0),
+                None,
+            )
+            if chunk is not None and (
+                self.zerotile_jump is True or will_stream or plan_res
+            ):
+                from qgtc_ppopp22_tpu.ops.fused_model import (
+                    mega_colblock,
                 )
-                if chunk is not None:
-                    from qgtc_ppopp22_tpu.ops.fused_model import (
-                        mega_colblock,
-                    )
 
-                    cb = mega_colblock(pn_)
-                    occ_np = np.stack(
-                        [
-                            mega_block_occ(b.a_words, chunk, cb)
-                            for b in bs
-                        ]
-                    )
-                    # Gate on the measured win threshold: the
-                    # per-dataset streaming study
-                    # (results/zero_tile_streaming.csv) wins at 47%
-                    # skippable blocks (arxiv 1.14x) but LOSES at
-                    # 16-22% (reddit 0.84x, soc 0.92x) — per-block
-                    # predication overhead needs a high hit rate to
-                    # pay for itself. Auto-on only above 30%;
-                    # --zerotile_jump still forces.
-                    if 1.0 - occ_np.mean() >= 0.30:
-                        occ = jax.device_put(occ_np)
+                cb = mega_colblock(pn_)
+                occ_np = np.stack(
+                    [
+                        mega_block_occ(b.a_words, chunk, cb)
+                        for b in bs
+                    ]
+                )
+                skippable = 1.0 - occ_np.mean()
+                if plan_res:
+                    # RESIDENT: the occupancy-COMPACTED schedule
+                    # (fori over occupied blocks only) replaces the
+                    # predicated form that measured 0.80x. Auto-on
+                    # above the measured win threshold (see
+                    # results/zero_tile.csv, r5 rows); --zerotile_jump
+                    # still forces.
+                    if self.zerotile_jump is True or (
+                        self.zerotile_jump is None
+                        and skippable >= 0.40
+                    ):
+                        sched_np = np.stack(
+                            [
+                                mega_block_sched(b.a_words, chunk, cb)
+                                for b in bs
+                            ]
+                        )
+                        sched = jax.device_put(sched_np)
+                elif self.zerotile_jump is True or skippable >= 0.30:
+                    # STREAMING: per-block predication saves the HBM
+                    # crossing too; measured win above 30% skippable
+                    # (results/zero_tile_streaming.csv: arxiv 1.14x at
+                    # 47%, losses at 16-22%).
+                    occ = jax.device_put(occ_np)
+
             def mega_fn(t, w_, with_occ=occ is not None,
+                        with_sched=sched is not None,
                         xlb=x_levels_bits, ra=plan_res, uo=plan_uo):
                 return fused_model_epoch(
                     t[0], t[1], w_, clamp_bits, model=model,
                     shifts=shifts_t,
                     chunk_occ=t[2] if with_occ else None,
+                    blk_sched=t[2] if with_sched else None,
                     out_cols=self.cfg.out_dim,
                     resident_a=ra,
                     x_cols=self.cfg.in_dim,
@@ -595,7 +615,9 @@ class QGTCEngine:
                 )
 
             mega_args = (a_stack, x_stack) + (
-                (occ,) if occ is not None else ()
+                (occ,) if occ is not None
+                else (sched,) if sched is not None
+                else ()
             )
             try:
                 # trace-time shape/VMEM validation only — no compile
@@ -1072,6 +1094,24 @@ def mega_block_occ(
         .any(axis=(0, 2, 4))
         .astype(np.int32)
     )
+
+
+def mega_block_sched(
+    a_words: np.ndarray, chunk: int, cb: int
+) -> np.ndarray:
+    """Occupancy-COMPACTED block schedule int32[nch, nj+1] for the
+    resident mega kernel: per row-chunk, ``[count, j_0, j_1, ...]``
+    listing the occupied column-block indices (unused tail slots 0).
+    The kernel fori-loops over exactly ``count`` blocks, so a skipped
+    block costs nothing (``fused_model_epoch(blk_sched=...)``)."""
+    occ = mega_block_occ(a_words, chunk, cb)
+    nch, nj = occ.shape
+    out = np.zeros((nch, nj + 1), np.int32)
+    for c in range(nch):
+        js = np.nonzero(occ[c])[0]
+        out[c, 0] = len(js)
+        out[c, 1 : 1 + len(js)] = js
+    return out
 
 
 def _threshold_f1(logits: np.ndarray, labels: np.ndarray) -> dict:

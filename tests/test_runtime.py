@@ -310,3 +310,18 @@ def test_cli_checkpoint_roundtrip(small, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "loaded checkpoint: gcn, 2-bit" in out
     assert "accuracy:" in out
+
+
+def test_engine_mega_resident_compact_smoke(small):
+    """run_epochs_mega with --zerotile_jump forced on a resident
+    bucket routes through the occupancy-compacted schedule
+    (blk_sched); kernel exactness is covered by
+    test_signed_mega.test_compact_block_schedule — this checks the
+    engine wiring stages and runs."""
+    ds, it = small
+    eng = QGTCEngine(
+        feat_dim=it.feat_dim, num_classes=ds.num_classes,
+        bit_width=2, zerotile_jump=True,
+    )
+    st = eng.run_epochs_mega(it, n_epochs=1)
+    assert st.avg_ms > 0

@@ -199,3 +199,51 @@ def test_signed_mega_zero_block_occ(rng, model, xdim, resident):
     np.testing.assert_array_equal(
         out[:, :cls], gold[:, :cls].astype(np.float32)
     )
+
+
+@pytest.mark.parametrize("model", ["gcn", "gin"])
+@pytest.mark.parametrize("bits", [2, 8])
+def test_compact_block_schedule(rng, model, bits):
+    """Occupancy-compacted resident aggregation (blk_sched): exact vs
+    golden on a block-sparse adjacency, 2-bit digit chain and 8-bit
+    signed chain, both models."""
+    from qgtc_ppopp22_tpu.runtime import mega_block_sched
+
+    pn, xdim, hid, cls = 1024, 100, 16, 12
+    rng2 = np.random.default_rng(11)
+    qa = np.zeros((pn, pn), np.int32)
+    # banded + off-band structure so the two row chunks have distinct
+    # occupied block sets (and genuinely skipped blocks)
+    qa[:512, :512] = (rng2.random((512, 512)) < 0.03).astype(np.int32)
+    qa[512:, 512:] = (rng2.random((512, 512)) < 0.03).astype(np.int32)
+    qa[600:610, :64] = 1
+    qx = rng.integers(0, 4, (pn, xdim)).astype(np.int32)
+    qws = [
+        (rng.random(s) < 0.1).astype(np.int32)
+        for s in ((xdim, hid), (hid, hid), (hid, cls))
+    ]
+    aw = pack_rows_np(qa, 1)
+    ws = [digit_pack(jnp.asarray(w), bits) for w in qws]
+    sched = mega_block_sched(aw, 512, 256)[None]
+    assert sched[0, :, 0].sum() < sched.shape[1] * (sched.shape[2] - 1)
+    if bits == 8:
+        xin = jnp.asarray(_levels_bytes(qx, bits))
+        kw = dict(x_levels_bits=bits)
+    else:
+        xd = digit_pack(jnp.asarray(qx), bits).digits
+        xin = jnp.asarray(np.asarray(xd[0], np.int8))[None, None]
+        kw = {}
+    out = np.asarray(
+        fused_model_epoch(
+            jnp.asarray(aw[0])[None], xin, ws, bits,
+            model=model, x_cols=xdim, out_cols=cls,
+            resident_a=True, blk_sched=jnp.asarray(sched),
+            shifts=_LINEAR_SHIFTS, **kw,
+        )
+    )[0]
+    gold = (qgcn_golden if model == "gcn" else qgin_golden)(
+        qa, qx, qws, bits, bits, shifts=_LINEAR_SHIFTS
+    )
+    np.testing.assert_array_equal(
+        out[:, :cls], gold[:, :cls].astype(np.float32)
+    )

@@ -190,6 +190,40 @@ for model, golden, feat in (("gcn", qgcn_golden, 29),
         np.asarray(out2[0])[:, :ncls], want2[:, :ncls].astype(np.float32)
     ), (model, feat, "saturating")
 print("SIGNED-CHAIN-HW-OK")
+
+# shard_map + Mosaic on REAL TPU (VERDICT r4 #5): the mesh layer had
+# only ever run under CPU interpret (8-device virtual mesh), and the
+# round-3 lane-stack lesson shows interpret-mode success does not
+# imply the kernel lowers on hardware. One real chip -> a 1-device
+# (dp=1, sp=1) mesh: this cannot exercise real collectives (ppermute
+# degenerates to identity) but DOES prove both shard_map-wrapped
+# production paths — the whole-epoch mega kernel and the packed
+# per-GEMM ring kernels — compile and run bit-exactly inside
+# shard_map on TPU.
+from qgtc_ppopp22_tpu.graph.datasets import synthesize
+from qgtc_ppopp22_tpu.graph.batching import ClusterBatcher
+from qgtc_ppopp22_tpu.runtime import QGTCEngine
+from qgtc_ppopp22_tpu.parallel import MeshEngine
+
+ds = synthesize("Proteins", scale=0.05, seed=0)
+for model in ("gcn", "gin"):
+    batcher = ClusterBatcher(ds, psize=8, batch_size=2, bit_width=2,
+                             shuffle=False)
+    ref_eng = QGTCEngine(batcher.feat_dim, ds.num_classes, model=model,
+                         bit_width=2, seed=0)
+    refs = [np.asarray(ref_eng.forward_batch(b)) for b in batcher.batches]
+    for force_mega in (True, False):
+        eng = MeshEngine(batcher.feat_dim, ds.num_classes, dp=1, sp=1,
+                         model=model, bit_width=2, seed=0)
+        if not force_mega:
+            # reach the packed ring kernels (normally the sp>1 path)
+            # by disabling the mega route for this staging
+            eng._force_ring = True
+        outs = eng.forward_batches(batcher)
+        for i, (r, o) in enumerate(zip(refs, outs)):
+            assert np.array_equal(r[: o.shape[0], : o.shape[1]], o), (
+                model, force_mega, i)
+print("MESH-HW-OK")
 """
 
 
