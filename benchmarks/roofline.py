@@ -49,8 +49,14 @@ def _r8(n):
 
 
 def bucket_model(pn, xp, nd_x, n_layers, out_dim, model, bits,
-                 resident, feat=None):
-    """(hbm_bytes, mxu_macs) for ONE batch of a ``pn`` bucket."""
+                 resident, feat=None, agg_frac=1.0):
+    """(hbm_bytes, mxu_macs) for ONE batch of a ``pn`` bucket.
+
+    ``agg_frac``: occupied fraction of the adjacency's 2-D blocks —
+    the aggregation MACs a batch actually pays when the runtime's
+    occupancy-compacted resident schedule triggers (pn >= 2560 and
+    >= 45% skippable, mirroring ``runtime.run_epochs_mega``); 1.0
+    models the dense kernel."""
     # HBM: packed A words; resident crosses once, streaming once per
     # aggregation. Both 3-layer chains run n_layers aggregations
     # (GCN: 2 hidden + the final f32 one; GIN: A@X + 2 hidden —
@@ -73,6 +79,7 @@ def bucket_model(pn, xp, nd_x, n_layers, out_dim, model, bits,
         agg_macs += (n_agg - 1) * pn * pn * LANE
     else:
         agg_macs = n_agg * pn * pn * LANE
+    agg_macs = int(agg_macs * agg_frac)
     # updates: signed chain = 1 pass per GEMM
     upd_macs = n_layers * pn * LANE * LANE
     upd_macs += pn * max(xp - LANE, 0) * LANE
@@ -124,11 +131,41 @@ def main() -> int:
                 init_weights(jax.random.PRNGKey(0), cfg), bits,
                 fmt="digits",
             )
+            from qgtc_ppopp22_tpu.runtime import mega_block_occ
+            from qgtc_ppopp22_tpu.ops.fused_model import mega_colblock
+
+            # Mirror the runtime's per-BUCKET compact-schedule gate
+            # (pn >= 2560, >= 45% skippable): a gated bucket's floor
+            # charges only its occupied aggregation blocks.
+            bucket_occ: dict = {}
+            for b in it.batches:
+                pn = b.padded_nodes
+                chunk = next(
+                    (c for c in (512, 256) if c <= pn and pn % c == 0),
+                    None,
+                )
+                if chunk is None or pn < 2560:
+                    continue
+                occ = mega_block_occ(
+                    np.asarray(b.a_words), chunk, mega_colblock(pn)
+                )
+                tot, nz = bucket_occ.get(pn, (0, 0))
+                bucket_occ[pn] = (tot + occ.size, nz + int(occ.sum()))
+            bucket_frac = {}
+            for pn, (tot, nz) in bucket_occ.items():
+                frac = nz / max(tot, 1)
+                bucket_frac[pn] = frac if 1.0 - frac >= 0.45 else 1.0
+
             hbm_total = macs_total = 0
             floor_ms = 0.0
             for b in it.batches:
                 pn = b.padded_nodes
                 xp = round_up(it.feat_dim, LANE)
+                # the runtime compacts only the digit chains (the
+                # signed >4-bit chain measured a loss under compact)
+                agg_frac = (
+                    bucket_frac.get(pn, 1.0) if bits <= 4 else 1.0
+                )
                 try:
                     # x_split_digits=0: >4-bit chains run SIGNED at
                     # the benchmark configs (every weight has a free
@@ -143,6 +180,7 @@ def main() -> int:
                 hbm, macs = bucket_model(
                     pn, xp, nd_x, cfg.num_layers, ds.num_classes,
                     args.model, bits, resident, feat=it.feat_dim,
+                    agg_frac=agg_frac,
                 )
                 hbm_total += hbm
                 macs_total += macs

@@ -577,13 +577,23 @@ class QGTCEngine:
                 if plan_res:
                     # RESIDENT: the occupancy-COMPACTED schedule
                     # (fori over occupied blocks only) replaces the
-                    # predicated form that measured 0.80x. Auto-on
-                    # above the measured win threshold (see
-                    # results/zero_tile.csv, r5 rows); --zerotile_jump
+                    # predicated form that measured 0.80x. The fori
+                    # body serializes unpack->dot per block (no
+                    # static-unroll pipelining), costing ~5 us/batch
+                    # at pn=2048 — measured win only at pn>=2560 with
+                    # >=45% skippable (1.16x at 48%, 0.90x at
+                    # pn=2048/38%; results/zero_tile.csv r5 rows).
+                    # Auto-on inside that region; --zerotile_jump
                     # still forces.
+                    # >4-bit (signed chain) measured a small LOSS
+                    # under compact at the same skip ratio (arxiv
+                    # 8-bit 1.252 vs 1.214 dense) while 1/2/4-bit won
+                    # 14% — auto only for the digit chains.
                     if self.zerotile_jump is True or (
                         self.zerotile_jump is None
-                        and skippable >= 0.40
+                        and skippable >= 0.45
+                        and pn_ >= 2560
+                        and self.bit_width <= 4
                     ):
                         sched_np = np.stack(
                             [
