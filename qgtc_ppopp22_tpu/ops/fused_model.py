@@ -826,19 +826,36 @@ def fused_model_epoch(
                     cnt = occ_ref[0, base]
                     lo = c * chunk
 
-                    def body(jj, carry, c=c, lo=lo, base=base):
-                        j = occ_ref[0, base + 1 + jj]
+                    def one_block(j, c=c):
+                        # independent unpack -> dot chain for block j
                         aw = a_vmem[
                             pl.ds(c * chw, chw), pl.ds(j * cb, cb)
                         ]
                         a_cj = _extract_groups(aw, 1, interpret)
                         hj = h_scr[pl.ds(j * cb, cb), 0:ncols]
-                        part = dotfix(
+                        return dotfix(
                             jax.lax.dot_general(
                                 a_cj, hj, _DOT,
                                 preferred_element_type=jnp.int32,
                             ),
                             a_cj,
+                        )
+
+                    def body(jj, carry, lo=lo, base=base, cnt=cnt):
+                        # 2 blocks per iteration: their unpack->dot
+                        # chains are independent, so Mosaic can run
+                        # block 2jj+1's VPU unpack under block 2jj's
+                        # MXU pass, and the accumulate chain halves.
+                        # An odd tail re-computes the last block and
+                        # masks it out (exact; one wasted pass per
+                        # odd-count chunk).
+                        jj2 = 2 * jj
+                        part = one_block(occ_ref[0, base + 1 + jj2])
+                        j1 = occ_ref[
+                            0, base + 1 + jnp.minimum(jj2 + 1, cnt - 1)
+                        ]
+                        part = part + jnp.where(
+                            jj2 + 1 < cnt, one_block(j1), 0
                         )
                         if final:
                             o_ref[0, lo:lo + chunk, :] = (
@@ -853,7 +870,7 @@ def fused_model_epoch(
                             )
                         return carry
 
-                    jax.lax.fori_loop(0, cnt, body, 0)
+                    jax.lax.fori_loop(0, (cnt + 1) // 2, body, 0)
                 seen_a[0] = True
             elif resident_a:
                 first = not seen_a[0]

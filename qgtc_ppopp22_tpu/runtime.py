@@ -588,11 +588,14 @@ class QGTCEngine:
                     # >4-bit (signed chain) measured a small LOSS
                     # under compact at the same skip ratio (arxiv
                     # 8-bit 1.252 vs 1.214 dense) while 1/2/4-bit won
-                    # 14% — auto only for the digit chains.
+                    # 14% — auto only for the digit chains. The
+                    # 2-blocks-per-iteration fori brings pn=2048 to
+                    # break-even at 38% skip (1.008x), so the gate is
+                    # pn>=2048 at >=45% skippable.
                     if self.zerotile_jump is True or (
                         self.zerotile_jump is None
                         and skippable >= 0.45
-                        and pn_ >= 2560
+                        and pn_ >= 2048
                         and self.bit_width <= 4
                     ):
                         sched_np = np.stack(
