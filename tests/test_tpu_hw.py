@@ -191,6 +191,36 @@ for model, golden, feat in (("gcn", qgcn_golden, 29),
     ), (model, feat, "saturating")
 print("SIGNED-CHAIN-HW-OK")
 
+# occupancy-compacted resident block schedule (r5): fori over only
+# the occupied blocks with dynamic lane/sublane ref slices — the
+# exact lowering this suite exists to re-prove on real Mosaic
+from qgtc_ppopp22_tpu.runtime import mega_block_sched
+from qgtc_ppopp22_tpu.ops.fused_model import mega_colblock
+pn_c, xdim_c, hid_c, cls_c = 1024, 100, 16, 12
+qa = np.zeros((pn_c, pn_c), np.int32)
+qa[:512, :512] = (rng.random((512, 512)) < 0.03).astype(np.int32)
+qa[512:, 512:] = (rng.random((512, 512)) < 0.03).astype(np.int32)
+qa[600:610, :64] = 1
+qx = rng.integers(0, 4, (pn_c, xdim_c)).astype(np.int32)
+qws = [(rng.random(s) < 0.1).astype(np.int32)
+       for s in ((xdim_c, hid_c), (hid_c, hid_c), (hid_c, cls_c))]
+aw = pack_rows_np(qa, 1)
+sched = mega_block_sched(aw, 512, mega_colblock(pn_c))[None]
+assert sched[0, :, 0].sum() < sched.shape[1] * (sched.shape[2] - 1)
+for model, golden in (("gcn", qgcn_golden), ("gin", qgin_golden)):
+    ws2 = [digit_pack(jnp.asarray(w), 2) for w in qws]
+    xd2 = digit_pack(jnp.asarray(qx), 2).digits
+    out = fused_model_epoch(
+        jnp.asarray(aw[0])[None],
+        jnp.asarray(np.asarray(xd2[0], np.int8))[None, None], ws2, 2,
+        model=model, x_cols=xdim_c, out_cols=cls_c, resident_a=True,
+        blk_sched=jnp.asarray(sched), shifts=(0, 2, 3, 2, 3))
+    want = golden(qa, qx, qws, 2, 2, shifts=(0, 2, 3, 2, 3))
+    assert np.array_equal(
+        np.asarray(out[0])[:, :cls_c], want[:, :cls_c].astype(np.float32)
+    ), ("compact", model)
+print("COMPACT-HW-OK")
+
 # shard_map + Mosaic on REAL TPU (VERDICT r4 #5): the mesh layer had
 # only ever run under CPU interpret (8-device virtual mesh), and the
 # round-3 lane-stack lesson shows interpret-mode success does not
@@ -237,3 +267,5 @@ def test_kernels_on_hardware():
     assert "STACKED-HW-OK" in out
     assert "PREPARED-RHS-HW-OK" in out
     assert "SIGNED-CHAIN-HW-OK" in out
+    assert "COMPACT-HW-OK" in out
+    assert "MESH-HW-OK" in out
