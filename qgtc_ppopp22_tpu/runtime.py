@@ -1202,7 +1202,14 @@ def _timed_epochs(
     if device_fn is not None and jax.default_backend() != "cpu":
         from qgtc_ppopp22_tpu.utils.timing import device_bench
 
-        dev_ms = device_bench(device_fn, device_args) * 1e3
+        # perturb="slice": the epoch functions are pallas/scan
+        # consumers (no algebraic shortcut), and the full-leaf
+        # perturbation's O(epoch-bytes) harness traffic inflated
+        # products-scale marginals by ~1 us/batch (the reference's
+        # cudaEvent window carries no harness traffic either)
+        dev_ms = device_bench(
+            device_fn, device_args, perturb="slice"
+        ) * 1e3
         return EpochStats(
             epoch_ms=[dev_ms],
             n_batches=n_batches,

@@ -28,39 +28,70 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _make_loop(fn: Callable):
+def _make_loop(fn: Callable, perturb: str = "full"):
     @jax.jit
     def loop(n, args_):
         def body(_, carry):
             seed, args_ = carry
             leaves, treedef = jax.tree_util.tree_flatten(args_)
-            # Perturb EVERY element of the smallest leaf, with an op
-            # the compiler cannot distribute out of a matmul. A
+            # Perturb the smallest operand leaf with an op the
+            # compiler cannot distribute out of a matmul. A
             # single-element update is decomposed by XLA (DUS
             # propagation) and the untouched rows hoisted; `b + s`
             # distributes (dot(a, b+s) = dot(a,b) + s*rowsum(a)).
             # xor (ints) / elementwise sin (floats) have no such
-            # identity; cost is O(smallest-leaf) VPU per iteration.
-            # Only *operand-valued* leaves (int8 / float planes) are
-            # candidates: control-valued leaves — occupancy maps,
-            # tile kidx/kcnt, CSR indptr (bool/int32/uint32) — steer
-            # zero-tile skipping, so scrambling them would change the
-            # work being timed, not just defeat CSE.
+            # identity. Only *operand-valued* leaves (int8 / float
+            # planes) are candidates: control-valued leaves —
+            # occupancy maps, tile kidx/kcnt, CSR indptr
+            # (bool/int32/uint32) — steer zero-tile skipping, so
+            # scrambling them would change the work being timed, not
+            # just defeat CSE.
+            #
+            # perturb="full" scrambles the WHOLE leaf — paranoid mode
+            # for XLA-native computations where algebraic shortcuts
+            # exist; costs O(leaf) VPU+HBM per iteration, which at
+            # epoch scale (x_stack ~200 MB at ogbn-products) inflates
+            # the marginal by ~0.5-1 us/batch. perturb="slice"
+            # scrambles only the first leading-index slice: the leaf
+            # is still a NEW buffer every iteration, so loop-invariant
+            # code motion / CSE of any consumer is impossible, and
+            # opaque consumers (pallas_call, lax.scan over batches)
+            # cannot be algebraically split — the right mode for the
+            # whole-epoch timings (the reference's cudaEvent windows
+            # carry no harness traffic either, main_qgtc.py:112-159).
             cand = [
                 i
                 for i, lf in enumerate(leaves)
                 if lf.dtype == jnp.int8
                 or jnp.issubdtype(lf.dtype, jnp.floating)
             ] or list(range(len(leaves)))
-            k = min(cand, key=lambda i: leaves[i].size)
-            lk = leaves[k]
             leaves = list(leaves)
-            if jnp.issubdtype(lk.dtype, jnp.floating):
-                leaves[k] = jnp.sin(lk + seed.astype(lk.dtype))
-            else:
-                leaves[k] = jax.lax.bitwise_xor(
-                    lk, jnp.broadcast_to(seed, lk.shape).astype(lk.dtype)
+
+            def scramble(lf):
+                if jnp.issubdtype(lf.dtype, jnp.floating):
+                    return jnp.sin(lf + seed.astype(lf.dtype))
+                return jax.lax.bitwise_xor(
+                    lf,
+                    jnp.broadcast_to(seed, lf.shape).astype(lf.dtype),
                 )
+
+            if perturb == "slice":
+                # slice mode touches EVERY operand leaf (so every
+                # bucket's kernel call provably sees a fresh buffer —
+                # no reliance on XLA declining to hoist calls whose
+                # inputs happened to be loop-invariant), but only its
+                # first leading-index slice.
+                for i in cand:
+                    lf = leaves[i]
+                    if lf.ndim >= 1 and lf.shape[0] > 1:
+                        leaves[i] = jax.lax.dynamic_update_slice(
+                            lf, scramble(lf[0:1]), (0,) * lf.ndim
+                        )
+                    else:
+                        leaves[i] = scramble(lf)
+            else:
+                k = min(cand, key=lambda i: leaves[i].size)
+                leaves[k] = scramble(leaves[k])
             args_ = jax.tree_util.tree_unflatten(treedef, leaves)
             out = fn(*args_)
             nxt = jnp.int32(0)
@@ -81,6 +112,7 @@ def device_bench(
     iters: int = 0,
     reps: int = 2,
     target_seconds: float = 0.5,
+    perturb: str = "full",
 ) -> float:
     """Seconds per iteration of ``fn(*args)``, measured on-device.
 
@@ -93,7 +125,7 @@ def device_bench(
     pin ``n`` explicitly.
     """
     args = tuple(args)
-    loop = _make_loop(fn)
+    loop = _make_loop(fn, perturb)
 
     def run(n):
         t0 = time.perf_counter()
