@@ -55,9 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--run_GIN", action="store_true")
     p.add_argument("--zerotile_jump", action="store_true", default=None,
                    help="force zero-tile skipping on everywhere; "
-                        "default (absent) = auto: on in the streaming "
-                        "mega regime where it wins, off where measured "
-                        "as a regression")
+                        "default (absent) = auto, on only in measured "
+                        "win regions: streaming mega at >=30%% "
+                        "skippable blocks, resident mega via the "
+                        "occupancy-compacted schedule at >=45%% and "
+                        "pn>=2048 on 1/2/4-bit chains")
     p.add_argument("--regular", action="store_true",
                    help="full-precision baseline (DGL-driver role)")
     p.add_argument("--sparse", action="store_true",

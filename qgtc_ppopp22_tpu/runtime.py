@@ -1206,10 +1206,20 @@ def _timed_epochs(
         # consumers (no algebraic shortcut), and the full-leaf
         # perturbation's O(epoch-bytes) harness traffic inflated
         # products-scale marginals by ~1 us/batch (the reference's
-        # cudaEvent window carries no harness traffic either)
-        dev_ms = device_bench(
-            device_fn, device_args, perturb="slice"
-        ) * 1e3
+        # cudaEvent window carries no harness traffic either).
+        # Fallback: the slice-DUS fusion can flip XLA's buffer
+        # placement and stack a small bucket's pallas output in VMEM
+        # past the scoped limit (observed: the bf16 baseline at
+        # reddit's 7-batch tail bucket) — retry with the full-leaf
+        # perturbation, whose fusion shape compiled everywhere.
+        try:
+            dev_ms = device_bench(
+                device_fn, device_args, perturb="slice"
+            ) * 1e3
+        except Exception:
+            dev_ms = device_bench(
+                device_fn, device_args, perturb="full"
+            ) * 1e3
         return EpochStats(
             epoch_ms=[dev_ms],
             n_batches=n_batches,
