@@ -187,6 +187,7 @@ class MeshEngine:
             x_np = np.stack([x_digits_np(b.bit_X, pn) for b in local])
             use_mega = False
             occ = None
+            sched = None
             # _force_ring: test hook — route an sp==1 mesh through the
             # packed ring kernels anyway, so a 1-device mesh (all the
             # hardware this environment has) can validate the sp>1
@@ -203,23 +204,49 @@ class MeshEngine:
                     use_mega = True
                 except ValueError:
                     use_mega = False
-                if use_mega and (
-                    self.zerotile_jump is True
-                    or (self.zerotile_jump is None and not plan_res)
-                ):
+                if use_mega:
+                    # same measured zero-tile gates as the single-chip
+                    # engine (runtime.run_epochs_mega): streaming gets
+                    # the predicated block occupancy at >=30%
+                    # skippable; resident gets the occupancy-COMPACTED
+                    # schedule at >=45%, pn>=2048, digit chains.
                     chunk = next(
                         (c for c in (512, 256)
                          if c <= pn and pn % c == 0), None,
                     )
-                    if chunk is not None:
+                    if chunk is not None and (
+                        self.zerotile_jump is True
+                        or self.zerotile_jump is None
+                    ):
+                        from qgtc_ppopp22_tpu.runtime import (
+                            mega_block_sched,
+                        )
+
                         cb = mega_colblock(pn)
                         occ_np = np.stack(
                             [mega_block_occ(b.a_words, chunk, cb)
                              for b in local]
                         )
-                        # measured win threshold — see runtime.py and
-                        # results/zero_tile_streaming.csv
-                        if 1.0 - occ_np.mean() >= 0.30:
+                        skippable = 1.0 - occ_np.mean()
+                        if plan_res:
+                            if self.zerotile_jump is True or (
+                                skippable >= 0.45
+                                and pn >= 2048
+                                and self.bit_width <= 4
+                            ):
+                                sched = self._put(
+                                    np.stack([
+                                        mega_block_sched(
+                                            b.a_words, chunk, cb
+                                        )
+                                        for b in local
+                                    ]),
+                                    P("dp", None, None),
+                                )
+                        elif (
+                            self.zerotile_jump is True
+                            or skippable >= 0.30
+                        ):
                             occ = self._put(
                                 occ_np, P("dp", None, None)
                             )
@@ -232,15 +259,21 @@ class MeshEngine:
                 oc, xc = self.cfg.out_dim, self.cfg.in_dim
                 interp = self.interpret
 
-                def fn(t, w_, with_occ=occ is not None):
+                def fn(t, w_, with_occ=occ is not None,
+                       with_sched=sched is not None):
                     return dp_mega_epoch_packed(
                         mesh, t[0], t[1], w_, ob, model=model,
                         interpret=interp, shifts=sh_t,
                         chunk_occ=t[2] if with_occ else None,
+                        blk_sched=t[2] if with_sched else None,
                         out_cols=oc, x_cols=xc,
                     )
 
-                args = (a_dev, x_dev) + ((occ,) if occ is not None else ())
+                args = (a_dev, x_dev) + (
+                    (occ,) if occ is not None
+                    else (sched,) if sched is not None
+                    else ()
+                )
             else:
                 a_np = np.stack([b.a_words for b in local])
                 a_dev = self._put(a_np, P("dp", None, "sp", None))

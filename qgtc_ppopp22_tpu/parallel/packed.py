@@ -215,6 +215,7 @@ def dp_mega_epoch_packed(
     chunk_occ: Optional[jax.Array] = None,
     out_cols: Optional[int] = None,
     x_cols: Optional[int] = None,
+    blk_sched: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Whole-epoch mega kernel, batches sharded over the ``dp`` axis.
 
@@ -223,7 +224,10 @@ def dp_mega_epoch_packed(
     its local slice of the stacked epoch — packed adjacency words in,
     one pallas launch per device per epoch, no collectives (batches
     are independent). ``B`` must divide by ``dp``; the ``sp`` mesh
-    axis, if present, must be 1 for this path.
+    axis, if present, must be 1 for this path. ``chunk_occ`` /
+    ``blk_sched`` (exclusive) shard with the batch axis, so each
+    device runs the same streaming zero-block / compacted resident
+    schedule the single-chip engine would.
     """
     from qgtc_ppopp22_tpu.ops.fused_model import fused_model_epoch
 
@@ -234,11 +238,14 @@ def dp_mega_epoch_packed(
     if "sp" in mesh.shape and mesh.shape["sp"] != 1:
         raise ValueError("dp_mega_epoch_packed needs sp=1 (use "
                          "dp_sp_epoch_packed for row-sharded batches)")
+    if chunk_occ is not None and blk_sched is not None:
+        raise ValueError("chunk_occ and blk_sched are exclusive")
     w_meta = [(w.shape, w.bits) for w in ws]
-    n_occ = 1 if chunk_occ is not None else 0
+    aux = chunk_occ if chunk_occ is not None else blk_sched
+    n_occ = 1 if aux is not None else 0
 
     def body(a_s, x_s, *rest):
-        occ_s = rest[0] if n_occ else None
+        aux_s = rest[0] if n_occ else None
         w_ds = rest[n_occ:]
         ws_loc = [
             DigitTensor(digits=w_d, shape=m[0], bits=m[1])
@@ -246,15 +253,17 @@ def dp_mega_epoch_packed(
         ]
         return fused_model_epoch(
             a_s, x_s, ws_loc, out_bits, model=model, interpret=interpret,
-            shifts=shifts, resident_a=resident_a, chunk_occ=occ_s,
+            shifts=shifts, resident_a=resident_a,
+            chunk_occ=aux_s if chunk_occ is not None else None,
+            blk_sched=aux_s if blk_sched is not None else None,
             out_cols=out_cols, x_cols=x_cols,
         )
 
     occ_specs = ()
     occ_args = ()
-    if chunk_occ is not None:
-        occ_specs = (P("dp", *([None] * (chunk_occ.ndim - 1))),)
-        occ_args = (chunk_occ,)
+    if aux is not None:
+        occ_specs = (P("dp", *([None] * (aux.ndim - 1))),)
+        occ_args = (aux,)
     fn = jax.shard_map(
         body,
         mesh=mesh,

@@ -171,6 +171,46 @@ for model in ("gcn", "gin"):
         assert acc_mesh == acc_ref, (model, dp, sp, acc_mesh, acc_ref)
     print(f"MESH-ENGINE-{model.upper()}-OK")
 print("PACKED-ALL-OK")
+
+# dp mega with the occupancy-COMPACTED resident schedule sharded over
+# the batch axis (r5): each device fori-loops over its shard's
+# occupied blocks; bit-exact vs golden on a block-sparse adjacency
+from qgtc_ppopp22_tpu.parallel import dp_mega_epoch_packed
+from qgtc_ppopp22_tpu.runtime import mega_block_sched
+from qgtc_ppopp22_tpu.ops.fused_model import mega_colblock
+from qgtc_ppopp22_tpu.ops.digits import digit_pack
+from qgtc_ppopp22_tpu.ops.packmm import pack_rows_np
+from qgtc_ppopp22_tpu.models.qmodels import qgcn_golden
+
+rng2 = np.random.default_rng(3)
+pn_c, xdim_c, hid_c, cls_c, B_c = 1024, 100, 16, 12, 8
+qas = []
+for _ in range(B_c):
+    qa = np.zeros((pn_c, pn_c), np.int32)
+    qa[:512, :512] = (rng2.random((512, 512)) < 0.03).astype(np.int32)
+    qa[512:, 512:] = (rng2.random((512, 512)) < 0.03).astype(np.int32)
+    qas.append(qa)
+qx = rng2.integers(0, 4, (pn_c, xdim_c)).astype(np.int32)
+qws = [(rng2.random(s_) < 0.1).astype(np.int32)
+       for s_ in ((xdim_c, hid_c), (hid_c, hid_c), (hid_c, cls_c))]
+ws_c = [digit_pack(jnp.asarray(w), 2) for w in qws]
+aws = [pack_rows_np(q, 1) for q in qas]
+sched = np.stack([mega_block_sched(a, 512, mega_colblock(pn_c)) for a in aws])
+xd = digit_pack(jnp.asarray(qx), 2).digits
+x_st = np.broadcast_to(
+    np.asarray(xd[0], np.int8)[None, None], (B_c, 1, pn_c, 128)
+).copy()
+a_st = np.stack([a[0] for a in aws])
+mesh = make_mesh(8, 1)
+out = np.asarray(jax.jit(
+    lambda a_, x_, s_: dp_mega_epoch_packed(
+        mesh, a_, x_, ws_c, 2, model="gcn", resident_a=True,
+        blk_sched=s_, out_cols=cls_c, x_cols=xdim_c)
+)(jnp.asarray(a_st), jnp.asarray(x_st), jnp.asarray(sched)))
+for i in range(B_c):
+    gold = qgcn_golden(qas[i], qx, qws, 2, 2)
+    assert np.array_equal(out[i][:, :cls_c], gold[:, :cls_c].astype(np.float32)), i
+print("DP-COMPACT-OK")
 """
 
 
@@ -191,6 +231,7 @@ def test_packed_mesh_matches_single_device():
     out = run_on_cpu_mesh(PACKED_CODE, n_devices=8, timeout=1800)
     assert "PACKED-RING-2BIT-OK" in out
     assert "PACKED-RING-8BIT-OK" in out
+    assert "DP-COMPACT-OK" in out
     assert "MESH-ENGINE-GCN-OK" in out
     assert "MESH-ENGINE-GIN-OK" in out
     assert "PACKED-ALL-OK" in out
