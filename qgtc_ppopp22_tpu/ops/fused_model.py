@@ -30,6 +30,7 @@ lists, the digit algebra of ``ops/digitmm.py``.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence
 
 import jax
@@ -595,6 +596,20 @@ def fused_model_epoch(
         # compact aggs read packed words directly per block; the a8
         # copy would go stale/unused
         unpack_once = False
+    # Compact fori scheduling variant (ablation knob, r5 study):
+    #   ""       -> 2-wide masked fori (the committed r5 form)
+    #   "unroll4"-> 4 blocks/iteration on full quads, 2-wide masked
+    #               remainder fori (same tail waste as the 2-wide)
+    #   "pipe4"  -> software pipeline: 4 VMEM slots hold pre-unpacked
+    #               blocks; each iteration dots one pair while
+    #               unpacking the next, so the VPU unpack of pair k+1
+    #               runs under the MXU passes of pair k. 2-wide
+    #               masked remainder fori.
+    compact_pipe = (
+        os.environ.get("QGTC_COMPACT_PIPE", "") if compact else ""
+    )
+    if compact_pipe not in ("", "unroll4", "pipe4"):
+        raise ValueError(f"QGTC_COMPACT_PIPE={compact_pipe!r}")
 
     x_split = x_levels_bits is not None and not x_signed
 
@@ -609,9 +624,11 @@ def fused_model_epoch(
             a8_vmem = rest_s[idx]; idx += 1
         if x_split:
             xs_vmem = rest_s[idx]; idx += 1
-        h_scr = None
+        h_scr = ap_scr = None
         if compact:
             h_scr = rest_s[idx]; idx += 1
+        if compact_pipe == "pipe4":
+            ap_scr = rest_s[idx]; idx += 1
         acc_ref, sem = rest_s[idx], rest_s[idx + 1]
         b = pl.program_id(0)
         seen_a = [False]  # becomes True once A is fully in VMEM
@@ -841,7 +858,20 @@ def fused_model_epoch(
                             a_cj,
                         )
 
-                    def body(jj, carry, lo=lo, base=base, cnt=cnt):
+                    def acc_add(part, lo=lo):
+                        if final:
+                            o_ref[0, lo:lo + chunk, :] = (
+                                o_ref[0, lo:lo + chunk, :]
+                                + unstk(part)[:, 0:oc].astype(
+                                    jnp.float32
+                                )
+                            )
+                        else:
+                            acc_ref[lo:lo + chunk, 0:ncols] = (
+                                acc_ref[lo:lo + chunk, 0:ncols] + part
+                            )
+
+                    def body(jj, carry, base=base, cnt=cnt):
                         # 2 blocks per iteration: their unpack->dot
                         # chains are independent, so Mosaic can run
                         # block 2jj+1's VPU unpack under block 2jj's
@@ -857,20 +887,97 @@ def fused_model_epoch(
                         part = part + jnp.where(
                             jj2 + 1 < cnt, one_block(j1), 0
                         )
-                        if final:
-                            o_ref[0, lo:lo + chunk, :] = (
-                                o_ref[0, lo:lo + chunk, :]
-                                + unstk(part)[:, 0:oc].astype(
-                                    jnp.float32
-                                )
-                            )
-                        else:
-                            acc_ref[lo:lo + chunk, 0:ncols] = (
-                                acc_ref[lo:lo + chunk, 0:ncols] + part
-                            )
+                        acc_add(part)
                         return carry
 
-                    jax.lax.fori_loop(0, (cnt + 1) // 2, body, 0)
+                    if compact_pipe == "":
+                        jax.lax.fori_loop(0, (cnt + 1) // 2, body, 0)
+                    elif compact_pipe == "unroll4":
+                        # 4 independent unpack->dot chains per
+                        # iteration on full quads (one exposed unpack
+                        # per 4 blocks instead of per 2); the 2-wide
+                        # masked body finishes the remainder with the
+                        # same tail waste as the default form.
+                        n4 = cnt // 4
+
+                        def body4(jj, carry, base=base):
+                            j4 = 4 * jj
+                            part = one_block(occ_ref[0, base + 1 + j4])
+                            for k in (1, 2, 3):
+                                part = part + one_block(
+                                    occ_ref[0, base + 1 + j4 + k]
+                                )
+                            acc_add(part)
+                            return carry
+
+                        jax.lax.fori_loop(0, n4, body4, 0)
+                        jax.lax.fori_loop(
+                            2 * n4, (cnt + 1) // 2, body, 0
+                        )
+                    else:  # pipe4: software-pipelined pairs
+                        # Slots 0,1 hold the CURRENT pair's unpacked
+                        # blocks (written by the previous iteration or
+                        # the fill), slots 2,3 the pair unpacked THIS
+                        # iteration under the first pair's MXU passes
+                        # — every steady-state unpack runs under a
+                        # dot; only the per-chunk fill is exposed.
+                        def unpack_blk(j, c=c):
+                            aw = a_vmem[
+                                pl.ds(c * chw, chw), pl.ds(j * cb, cb)
+                            ]
+                            return _extract_groups(aw, 1, interpret)
+
+                        def dot_slot(s, j):
+                            a_cj = ap_scr[s]
+                            hj = h_scr[pl.ds(j * cb, cb), 0:ncols]
+                            return dotfix(
+                                jax.lax.dot_general(
+                                    a_cj, hj, _DOT,
+                                    preferred_element_type=jnp.int32,
+                                ),
+                                a_cj,
+                            )
+
+                        n4 = cnt // 4
+
+                        @pl.when(n4 > 0)
+                        def _fill(base=base):
+                            ap_scr[0] = unpack_blk(occ_ref[0, base + 1])
+                            ap_scr[1] = unpack_blk(occ_ref[0, base + 2])
+
+                        def pbody(jj, carry, base=base, n4=n4):
+                            j4 = 4 * jj
+
+                            def jat(k):
+                                return occ_ref[0, base + 1 + j4 + k]
+
+                            part = dot_slot(0, jat(0)) + dot_slot(
+                                1, jat(1)
+                            )
+                            ap_scr[2] = unpack_blk(jat(2))
+                            ap_scr[3] = unpack_blk(jat(3))
+                            part = (
+                                part
+                                + dot_slot(2, jat(2))
+                                + dot_slot(3, jat(3))
+                            )
+
+                            @pl.when(jj + 1 < n4)
+                            def _prefetch():
+                                ap_scr[0] = unpack_blk(
+                                    occ_ref[0, base + 1 + j4 + 4]
+                                )
+                                ap_scr[1] = unpack_blk(
+                                    occ_ref[0, base + 1 + j4 + 5]
+                                )
+
+                            acc_add(part)
+                            return carry
+
+                        jax.lax.fori_loop(0, n4, pbody, 0)
+                        jax.lax.fori_loop(
+                            2 * n4, (cnt + 1) // 2, body, 0
+                        )
                 seen_a[0] = True
             elif resident_a:
                 first = not seen_a[0]
@@ -1154,6 +1261,12 @@ def fused_model_epoch(
             # need the operand in a ref)
             [pltpu.VMEM((pn, hid_cols), jnp.int8)]
             if compact
+            else []
+        )
+        + (
+            # pipe4 double-buffered pair slots of unpacked A blocks
+            [pltpu.VMEM((4, chunk, cb), jnp.int8)]
+            if compact_pipe == "pipe4"
             else []
         )
         + [
