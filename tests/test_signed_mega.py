@@ -247,3 +247,13 @@ def test_compact_block_schedule(rng, model, bits):
     np.testing.assert_array_equal(
         out[:, :cls], gold[:, :cls].astype(np.float32)
     )
+
+
+@pytest.mark.parametrize("pipe", ["unroll4", "pipe4"])
+def test_compact_pipe_variant_schedules(rng, monkeypatch, pipe):
+    """The QGTC_COMPACT_PIPE ablation schedules (deeper-ILP fori
+    forms, measured ~30% SLOWER on HW than the default 2-wide body —
+    results/compact_pipeline_study.csv — and kept as knobs) must stay
+    bit-exact: the compact case re-run under each knob value."""
+    monkeypatch.setenv("QGTC_COMPACT_PIPE", pipe)
+    test_compact_block_schedule(rng, "gcn", 2)
