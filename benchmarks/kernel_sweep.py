@@ -81,10 +81,38 @@ def bench_int8(M, K, N, rng):
     return t, flops_convention(M, N, K) / t / 1e12
 
 
+def bench_profile_shape(M, K, N, bits, rng):
+    """Supplementary profile-log shapes (reference
+    ``QGTC_module/logs/profile_new.log``: 1-bit bitMM at M=N=32768).
+    The packed operand is generated directly in the word domain — a
+    dense random 0/1 matrix's packed words ARE i.i.d. random bits,
+    and with no tile_map the kernel's time depends on shapes only —
+    so the host never materializes the 4.3 GB dense form."""
+    import jax.numpy as jnp
+
+    from qgtc_ppopp22_tpu.ops.bitgemm import flops_convention
+    from qgtc_ppopp22_tpu.ops.digits import digit_pack
+    from qgtc_ppopp22_tpu.ops.packmm import PackedTensor, packmm_to_packed
+    from qgtc_ppopp22_tpu.utils.timing import device_bench
+
+    assert bits == 1
+    w = rng.integers(
+        -(2**31), 2**31, (1, M // 32, K), dtype=np.int64
+    ).astype(np.int32)
+    a = PackedTensor(words=jnp.asarray(w), shape=(M, K), bits=bits)
+    qb = rng.integers(0, 1 << bits, (K, N)).astype(np.int32)
+    b = digit_pack(jnp.asarray(qb), bits)
+    t = device_bench(
+        lambda a_, b_: packmm_to_packed(a_, b_, bits).words, (a, b),
+        reps=1,
+    )
+    return t, flops_convention(M, N, K) / t / 1e12
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument(
-        "--figure", choices=("8a", "8c", "int8"), default="8a"
+        "--figure", choices=("8a", "8c", "int8", "profile"), default="8a"
     )
     p.add_argument("--csv", type=str, default=None)
     args = p.parse_args()
@@ -112,6 +140,16 @@ def main() -> int:
                          us=round(t * 1e6, 2), tflops=round(tf, 3))
                 )
                 print(rows[-1], flush=True)
+    elif args.figure == "profile":
+        # Reference supplementary profile log: 1-bit, M=K=32768,
+        # N in {16, 64} (ref 12.359 / 26.431 TFLOPs on sm_86)
+        for n in (16, 64):
+            t, tf = bench_profile_shape(32768, 32768, n, 1, rng)
+            rows.append(
+                dict(bits=1, M=32768, K=32768, N=n,
+                     us=round(t * 1e6, 2), tflops=round(tf, 3))
+            )
+            print(rows[-1], flush=True)
     else:
         for mk in (1024, 2048, 4096):
             for n in (16, 32, 64):
